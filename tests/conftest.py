@@ -1,0 +1,19 @@
+"""Test harness configuration.
+
+Tests run on the JAX CPU backend (the "fake device" of SURVEY.md §4) with an
+8-device virtual topology so every mesh/sharding path is exercised without
+TPU hardware.  Must run before `import jax`.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
