@@ -1,0 +1,385 @@
+// Host-native library for the TPU segmentation framework.
+//
+// The reference (/root/reference) is entirely native C++; the irreducibly
+// serial / pointer-chasing host stages are rebuilt here as a small C-ABI
+// library consumed from Python via ctypes:
+//
+//   * Suzuki-Abe border following with CHAIN_APPROX_SIMPLE compression,
+//     matching cv::findContours(RETR_EXTERNAL, CHAIN_APPROX_SIMPLE)
+//     point-for-point (spec: unetseg_tpu/io/contours_py.py, differential-
+//     tested against OpenCV),
+//   * bit-exact double-precision preprocess (min/max scan + truncating
+//     bilinear 512x512 downsample + u8 quantize) reproducing
+//     src/preprocess.cpp:65-118 semantics for strict-parity mode,
+//   * labelme-style contour JSON bytes identical to nlohmann::json's
+//     `std::setw(4)` serialization (alphabetical keys, 4-space indent) as
+//     emitted by src/mask2polygon.cpp:68-109, and the compact size JSON of
+//     src/preprocess.cpp:126-134.
+//
+// Build: `make -C csrc` produces libunetseg_host.so.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+// Direction table: index 0..7 = E, NE, N, NW, W, SW, S, SE
+// (increasing index = counter-clockwise on screen).
+constexpr int DX[8] = {1, 1, 0, -1, -1, -1, 0, 1};
+constexpr int DY[8] = {0, -1, -1, -1, 0, 1, 1, 1};
+
+struct Point {
+  int x, y;
+  bool operator==(const Point& o) const { return x == o.x && y == o.y; }
+  bool operator!=(const Point& o) const { return !(*this == o); }
+};
+
+// Suzuki-Abe outer-border following from the raster-first pixel (x0, y0)
+// of a component, on a zero-padded binary image. Returns the NONE chain.
+std::vector<Point> trace_outer(const std::vector<uint8_t>& img, int stride,
+                               int x0, int y0) {
+  auto at = [&](int x, int y) -> uint8_t { return img[y * stride + x]; };
+
+  // Initial clockwise search from W (index 4) for the trace predecessor.
+  int s = 4;
+  const int s_end = 4;
+  int nx = 0, ny = 0;
+  bool found = false;
+  do {
+    s = (s - 1) & 7;
+    nx = x0 + DX[s];
+    ny = y0 + DY[s];
+    if (at(nx, ny)) {
+      found = true;
+      break;
+    }
+  } while (s != s_end);
+  if (!found) return {{x0, y0}};  // isolated pixel
+
+  const Point i1{nx, ny};
+  Point i2 = i1;
+  Point i3{x0, y0};
+  std::vector<Point> pts;
+  for (;;) {
+    pts.push_back(i3);
+    // Counter-clockwise search around i3 starting just after i2.
+    const int dx = i2.x - i3.x, dy = i2.y - i3.y;
+    int sd = 0;
+    for (int k = 0; k < 8; ++k) {
+      if (DX[k] == dx && DY[k] == dy) {
+        sd = k;
+        break;
+      }
+    }
+    for (;;) {
+      sd = (sd + 1) & 7;
+      nx = i3.x + DX[sd];
+      ny = i3.y + DY[sd];
+      if (at(nx, ny)) break;
+    }
+    const Point i4{nx, ny};
+    if (i4.x == x0 && i4.y == y0 && i3 == i1) break;
+    i2 = i3;
+    i3 = i4;
+  }
+  return pts;
+}
+
+// CHAIN_APPROX_SIMPLE: keep direction-change vertices of the closed chain.
+std::vector<Point> approx_simple(const std::vector<Point>& pts) {
+  const size_t n = pts.size();
+  if (n <= 2) return pts;
+  std::vector<Point> out;
+  out.reserve(n);
+  for (size_t i = 0; i < n; ++i) {
+    const Point& prev = pts[(i + n - 1) % n];
+    const Point& cur = pts[i];
+    const Point& next = pts[(i + 1) % n];
+    const int pdx = cur.x - prev.x, pdy = cur.y - prev.y;
+    const int ndx = next.x - cur.x, ndy = next.y - cur.y;
+    if (pdx != ndx || pdy != ndy) out.push_back(cur);
+  }
+  return out;
+}
+
+// Union-find over the padded grid.
+struct DSU {
+  std::vector<int32_t> parent;
+  explicit DSU(size_t n) : parent(n) {
+    for (size_t i = 0; i < n; ++i) parent[i] = static_cast<int32_t>(i);
+  }
+  int32_t find(int32_t a) {
+    while (parent[a] != a) {
+      parent[a] = parent[parent[a]];
+      a = parent[a];
+    }
+    return a;
+  }
+  void unite(int32_t a, int32_t b) {
+    a = find(a);
+    b = find(b);
+    if (a != b) parent[std::max(a, b)] = std::min(a, b);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// cv::findContours(mask > 127, RETR_EXTERNAL, CHAIN_APPROX_SIMPLE) parity.
+//
+// mask: (h, w) uint8, row-major.
+// Outputs (malloc'd, caller frees via utpu_free):
+//   *out_points  — flattened x,y pairs, contour-concatenated,
+//   *out_offsets — n_contours+1 point offsets into out_points,
+// Returns the number of contours (>= 0), or -1 on allocation failure.
+int utpu_extract_contours(const uint8_t* mask, int h, int w,
+                          int32_t** out_points, int32_t** out_offsets,
+                          int32_t* out_n_points) {
+  const int ph = h + 2, pw = w + 2;
+  std::vector<uint8_t> padded(static_cast<size_t>(ph) * pw, 0);
+  for (int y = 0; y < h; ++y)
+    for (int x = 0; x < w; ++x)
+      padded[(y + 1) * pw + (x + 1)] = mask[y * w + x] > 127 ? 1 : 0;
+
+  const size_t n = static_cast<size_t>(ph) * pw;
+
+  // 8-connected foreground labels (scan up-left neighbors).
+  DSU fg(n);
+  for (int y = 0; y < ph; ++y) {
+    for (int x = 0; x < pw; ++x) {
+      const size_t i = static_cast<size_t>(y) * pw + x;
+      if (!padded[i]) continue;
+      if (x > 0 && padded[i - 1]) fg.unite(i, i - 1);
+      if (y > 0) {
+        if (padded[i - pw]) fg.unite(i, i - pw);
+        if (x > 0 && padded[i - pw - 1]) fg.unite(i, i - pw - 1);
+        if (x + 1 < pw && padded[i - pw + 1]) fg.unite(i, i - pw + 1);
+      }
+    }
+  }
+  // 4-connected background labels.
+  DSU bg(n);
+  for (int y = 0; y < ph; ++y) {
+    for (int x = 0; x < pw; ++x) {
+      const size_t i = static_cast<size_t>(y) * pw + x;
+      if (padded[i]) continue;
+      if (x > 0 && !padded[i - 1]) bg.unite(i, i - 1);
+      if (y > 0 && !padded[i - pw]) bg.unite(i, i - pw);
+    }
+  }
+  const int32_t outer_bg = bg.find(0);
+
+  // Raster scan: first pixel of each fg component; external iff the
+  // background left of it belongs to the outer region.
+  std::vector<std::vector<Point>> contours;
+  std::vector<int32_t> seen_roots;
+  for (int y = 1; y < ph - 1; ++y) {
+    for (int x = 1; x < pw - 1; ++x) {
+      const size_t i = static_cast<size_t>(y) * pw + x;
+      if (!padded[i]) continue;
+      const int32_t root = fg.find(static_cast<int32_t>(i));
+      bool first = true;
+      for (int32_t r : seen_roots)
+        if (r == root) {
+          first = false;
+          break;
+        }
+      if (!first) continue;
+      seen_roots.push_back(root);
+      if (bg.find(static_cast<int32_t>(i - 1)) != outer_bg) continue;
+      contours.push_back(approx_simple(trace_outer(padded, pw, x, y)));
+    }
+  }
+  // OpenCV returns reverse discovery order.
+  std::reverse(contours.begin(), contours.end());
+
+  int32_t total = 0;
+  for (const auto& c : contours) total += static_cast<int32_t>(c.size());
+  auto* points =
+      static_cast<int32_t*>(std::malloc(sizeof(int32_t) * 2 * std::max(total, 1)));
+  auto* offsets = static_cast<int32_t*>(
+      std::malloc(sizeof(int32_t) * (contours.size() + 1)));
+  if (!points || !offsets) {
+    std::free(points);
+    std::free(offsets);
+    return -1;
+  }
+  int32_t k = 0;
+  offsets[0] = 0;
+  for (size_t c = 0; c < contours.size(); ++c) {
+    for (const Point& p : contours[c]) {
+      points[2 * k] = p.x - 1;  // un-pad
+      points[2 * k + 1] = p.y - 1;
+      ++k;
+    }
+    offsets[c + 1] = k;
+  }
+  *out_points = points;
+  *out_offsets = offsets;
+  *out_n_points = total;
+  return static_cast<int>(contours.size());
+}
+
+void utpu_free(void* p) { std::free(p); }
+
+// Bit-exact host preprocess: min/max + truncating bilinear downsample to
+// out_size x out_size + u8 quantize; double math exactly as
+// src/preprocess.cpp:65-118.
+void utpu_preprocess(const uint16_t* raw, int h, int w, int out_size,
+                     uint8_t* out) {
+  uint16_t mn = 65535, mx = 0;
+  const size_t len = static_cast<size_t>(h) * w;
+#ifdef _OPENMP
+#pragma omp parallel for reduction(min : mn) reduction(max : mx)
+#endif
+  for (long long i = 0; i < static_cast<long long>(len); ++i) {
+    const uint16_t v = raw[i];
+    mn = std::min(mn, v);
+    mx = std::max(mx, v);
+  }
+  if (mn == mx) mx = mn + 1;
+  const double scale8 = 255.0 / (mx - mn);
+  const double step_x = static_cast<double>(w) / out_size;
+  const double step_y = static_cast<double>(h) / out_size;
+#ifdef _OPENMP
+#pragma omp parallel for
+#endif
+  for (int y = 0; y < out_size; ++y) {
+    const double fy = y * step_y;
+    const int iy = static_cast<int>(fy);
+    const int iy1 = std::min(iy + 1, h - 1);
+    const double dy = fy - iy;
+    for (int x = 0; x < out_size; ++x) {
+      const double fx = x * step_x;
+      const int ix = static_cast<int>(fx);
+      const int ix1 = std::min(ix + 1, w - 1);
+      const double dx = fx - ix;
+      const double v00 = raw[static_cast<size_t>(iy) * w + ix];
+      const double v01 = raw[static_cast<size_t>(iy) * w + ix1];
+      const double v10 = raw[static_cast<size_t>(iy1) * w + ix];
+      const double v11 = raw[static_cast<size_t>(iy1) * w + ix1];
+      const double v = (1 - dx) * (1 - dy) * v00 + dx * (1 - dy) * v01 +
+                       (1 - dx) * dy * v10 + dx * dy * v11;
+      out[static_cast<size_t>(y) * out_size + x] =
+          static_cast<uint8_t>((v - mn) * scale8 + 0.5);
+    }
+  }
+}
+
+namespace {
+
+// Minimal JSON string escaper (nlohmann-compatible for the characters that
+// can appear in file names; full control-char escaping included).
+void append_json_string(std::string& out, const char* s) {
+  out.push_back('"');
+  for (const char* p = s; *p; ++p) {
+    const unsigned char c = static_cast<unsigned char>(*p);
+    switch (c) {
+      case '"': out += "\\\""; break;
+      case '\\': out += "\\\\"; break;
+      case '\b': out += "\\b"; break;
+      case '\f': out += "\\f"; break;
+      case '\n': out += "\\n"; break;
+      case '\r': out += "\\r"; break;
+      case '\t': out += "\\t"; break;
+      default:
+        if (c < 0x20) {
+          char buf[8];
+          std::snprintf(buf, sizeof buf, "\\u%04x", c);
+          out += buf;
+        } else {
+          out.push_back(static_cast<char>(c));
+        }
+    }
+  }
+  out.push_back('"');
+}
+
+}  // namespace
+
+// Labelme-style contour JSON, byte-identical to nlohmann `setw(4)` output as
+// produced by src/mask2polygon.cpp:68-109 (alphabetical key order), with the
+// truncating coordinate scaling of src/mask2polygon.cpp:41-63 applied.
+// Returns malloc'd NUL-terminated bytes (length in *out_len), caller frees.
+char* utpu_contour_json(const int32_t* points, const int32_t* offsets,
+                        int n_contours, const char* base_name, int orig_w,
+                        int orig_h, double scale_x, double scale_y,
+                        size_t* out_len) {
+  std::string j;
+  j.reserve(4096);
+  j += "{\n    \"flags\": {},\n    \"imageData\": null,\n    \"imageHeight\": ";
+  j += std::to_string(orig_h);
+  j += ",\n    \"imagePath\": ";
+  append_json_string(j, (std::string(base_name) + ".raw").c_str());
+  j += ",\n    \"imageWidth\": ";
+  j += std::to_string(orig_w);
+  j += ",\n    \"shapes\": ";
+  if (n_contours == 0) {
+    j += "[]";
+  } else {
+    j += "[";
+    for (int c = 0; c < n_contours; ++c) {
+      j += c ? ",\n        {" : "\n        {";
+      j += "\n            \"description\": \"\",";
+      j += "\n            \"flags\": {},";
+      j += "\n            \"group_id\": null,";
+      j += "\n            \"label\": 1,";
+      j += "\n            \"labelIndex\": 0,";
+      j += "\n            \"mask\": null,";
+      j += "\n            \"points\": [";
+      for (int32_t k = offsets[c]; k < offsets[c + 1]; ++k) {
+        const int x = static_cast<int>(points[2 * k] * scale_x);
+        const int y = static_cast<int>(points[2 * k + 1] * scale_y);
+        j += (k == offsets[c]) ? "\n                [" : ",\n                [";
+        j += "\n                    ";
+        j += std::to_string(x);
+        j += ",\n                    ";
+        j += std::to_string(y);
+        j += "\n                ]";
+      }
+      j += "\n            ],";
+      j += "\n            \"shape_type\": \"polygon\"";
+      j += "\n        }";
+    }
+    j += "\n    ]";
+  }
+  j += ",\n    \"version\": \"1.0.2.812\"\n}\n";
+
+  char* buf = static_cast<char*>(std::malloc(j.size() + 1));
+  if (!buf) return nullptr;
+  std::memcpy(buf, j.data(), j.size() + 1);
+  if (out_len) *out_len = j.size();
+  return buf;
+}
+
+// Compact size JSON (src/preprocess.cpp:126-134): nlohmann `os << j` bytes.
+char* utpu_size_json(const char* filename, int orig_w, int orig_h,
+                     int scaled_w, int scaled_h, size_t* out_len) {
+  std::string j = "{";
+  append_json_string(j, filename);
+  j += ":{\"original_height\":";
+  j += std::to_string(orig_h);
+  j += ",\"original_width\":";
+  j += std::to_string(orig_w);
+  j += ",\"scaled_height\":";
+  j += std::to_string(scaled_h);
+  j += ",\"scaled_width\":";
+  j += std::to_string(scaled_w);
+  j += "}}\n";
+  char* buf = static_cast<char*>(std::malloc(j.size() + 1));
+  if (!buf) return nullptr;
+  std::memcpy(buf, j.data(), j.size() + 1);
+  if (out_len) *out_len = j.size();
+  return buf;
+}
+
+}  // extern "C"

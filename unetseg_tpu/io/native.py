@@ -1,0 +1,191 @@
+"""ctypes bindings for the host-native C++ library (csrc/libunetseg_host.so).
+
+The reference's host stages are native C++; ours are too.  The library is
+built on demand (``make -C csrc``) and loaded lazily; every entry point has a
+pure-Python fallback (contours_py / preprocess oracle / jsonfmt) so the
+framework degrades gracefully, but the native path is the default.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "csrc")
+_LIB_PATH = os.path.join(_CSRC, "libunetseg_host.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _CSRC],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _load_failed
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and not _build():
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _load_failed = True
+            return None
+
+        lib.utpu_extract_contours.restype = ctypes.c_int
+        lib.utpu_extract_contours.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.utpu_free.restype = None
+        lib.utpu_free.argtypes = [ctypes.c_void_p]
+        lib.utpu_preprocess.restype = None
+        lib.utpu_preprocess.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.utpu_contour_json.restype = ctypes.c_void_p
+        lib.utpu_contour_json.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.utpu_size_json.restype = ctypes.c_void_p
+        lib.utpu_size_json.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_size_t),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def extract_contours(mask: np.ndarray) -> List[List[Tuple[int, int]]]:
+    """Native findContours(EXTERNAL, SIMPLE) parity; see contours_py for spec."""
+    lib = load()
+    if lib is None:
+        from unetseg_tpu.io import contours_py
+
+        return contours_py.extract_contours(mask)
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    h, w = mask.shape
+    points = ctypes.POINTER(ctypes.c_int32)()
+    offsets = ctypes.POINTER(ctypes.c_int32)()
+    n_points = ctypes.c_int32()
+    n = lib.utpu_extract_contours(
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w,
+        ctypes.byref(points), ctypes.byref(offsets), ctypes.byref(n_points),
+    )
+    if n < 0:
+        raise MemoryError("utpu_extract_contours failed")
+    try:
+        pts = np.ctypeslib.as_array(points, shape=(max(n_points.value, 1), 2))
+        offs = np.ctypeslib.as_array(offsets, shape=(n + 1,))
+        out = []
+        for c in range(n):
+            seg = pts[offs[c]: offs[c + 1]]
+            out.append([(int(x), int(y)) for x, y in seg])
+        return out
+    finally:
+        lib.utpu_free(points)
+        lib.utpu_free(offsets)
+
+
+def preprocess_u8(raw: np.ndarray, out_size: int = 512) -> np.ndarray:
+    """Bit-exact native preprocess; falls back to the NumPy float64 oracle."""
+    lib = load()
+    if lib is None:
+        from unetseg_tpu.ops.preprocess import preprocess_oracle_u8
+
+        return preprocess_oracle_u8(raw, out_size)
+    raw = np.ascontiguousarray(raw, dtype=np.uint16)
+    h, w = raw.shape
+    out = np.empty((out_size, out_size), np.uint8)
+    lib.utpu_preprocess(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), h, w, out_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
+
+
+def contour_json_bytes(
+    contours: List[List[Tuple[int, int]]],
+    base_name: str,
+    orig_w: int,
+    orig_h: int,
+    scale_x: float,
+    scale_y: float,
+) -> bytes:
+    """Native JSON emission with the truncating point scaling fused in."""
+    lib = load()
+    if lib is None:
+        from unetseg_tpu.io import contours_py, jsonfmt
+
+        mapped = contours_py.map_contour_points(contours, scale_x, scale_y)
+        return jsonfmt.contour_json_bytes(mapped, base_name, orig_w, orig_h)
+    flat = []
+    offsets = [0]
+    for c in contours:
+        flat.extend(c)
+        offsets.append(len(flat))
+    pts = np.asarray(flat if flat else np.zeros((0, 2)), dtype=np.int32).reshape(-1, 2)
+    pts = np.ascontiguousarray(pts)
+    offs = np.asarray(offsets, dtype=np.int32)
+    out_len = ctypes.c_size_t()
+    ptr = lib.utpu_contour_json(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(contours), base_name.encode(), orig_w, orig_h,
+        scale_x, scale_y, ctypes.byref(out_len),
+    )
+    if not ptr:
+        raise MemoryError("utpu_contour_json failed")
+    try:
+        return ctypes.string_at(ptr, out_len.value)
+    finally:
+        lib.utpu_free(ptr)
+
+
+def size_json_bytes(filename: str, orig_w: int, orig_h: int,
+                    scaled_w: int = 512, scaled_h: int = 512) -> bytes:
+    lib = load()
+    if lib is None:
+        from unetseg_tpu.io import jsonfmt
+
+        return jsonfmt.size_json_bytes(filename, orig_w, orig_h, scaled_w, scaled_h)
+    out_len = ctypes.c_size_t()
+    ptr = lib.utpu_size_json(filename.encode(), orig_w, orig_h, scaled_w,
+                             scaled_h, ctypes.byref(out_len))
+    if not ptr:
+        raise MemoryError("utpu_size_json failed")
+    try:
+        return ctypes.string_at(ptr, out_len.value)
+    finally:
+        lib.utpu_free(ptr)
