@@ -96,8 +96,9 @@ def test_edge_cases(impl):
 def test_map_contour_points_truncates():
     cs = [[(1, 1), (511, 511)]]
     got = contours_py.map_contour_points(cs, 1000 / 512, 999 / 512)
-    # int() truncation, not rounding (src/mask2polygon.cpp:54-55)
-    assert got == [[(1, 1), (997, 996)]]
+    # int() truncation, not rounding (src/mask2polygon.cpp:54-55):
+    # 511*1000/512 = 998.05 -> 998 ; 511*999/512 = 997.07 -> 997
+    assert got == [[(1, 1), (998, 997)]]
 
 
 @pytest.mark.skipif(not native.available(), reason="native lib unavailable")
