@@ -1,0 +1,221 @@
+"""End-to-end integration: checkpoint -> init -> process -> all artifacts.
+
+SURVEY.md §4 level 2: full process() on generated RAW files; every artifact
+verified against an oracle built from the same cv2 substrate the reference
+uses.
+"""
+
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from unetseg_tpu import checkpoint, engine
+from unetseg_tpu.config import ModelConfig
+from unetseg_tpu.io import jsonfmt, native, raw as raw_io
+from unetseg_tpu.ops.preprocess import preprocess_oracle_u8
+
+SMALL = ModelConfig(base_channels=8, depth=2, image_size=64, compute_dtype="float32")
+
+
+@pytest.fixture()
+def initialized_engine(tmp_path):
+    cache = tmp_path / "engine" / "model.ckpt"
+    cache.parent.mkdir()
+    checkpoint.create(str(cache), SMALL, seed=0)
+    assert engine.initialize_engine(str(cache))
+    yield str(cache)
+    engine.cleanup_resources()
+
+
+def _make_raw(path, w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+    raw_io.write_raw(str(path), img)
+    return img
+
+
+def test_full_pipeline_artifacts(initialized_engine, tmp_path):
+    w, h = 100, 80
+    raw_path = tmp_path / "scan_001.raw"
+    img = _make_raw(raw_path, w, h)
+    out = tmp_path / "out"
+
+    assert engine.process_single_image(str(raw_path), w, h, str(out))
+
+    normalized = out / "scan_001_normalized.png"
+    size_json = out / "scan_001_original_sizes.json"
+    mask_png = out / "scan_001_mask.png"
+    assert normalized.exists() and size_json.exists() and mask_png.exists()
+
+    # normalized PNG content == bit-exact oracle
+    got_u8 = cv2.imread(str(normalized), cv2.IMREAD_GRAYSCALE)
+    np.testing.assert_array_equal(got_u8, preprocess_oracle_u8(img, 64))
+
+    # size JSON byte parity
+    assert size_json.read_bytes() == jsonfmt.size_json_bytes(
+        "scan_001.raw", w, h, 64, 64
+    )
+
+    # mask is {0, 255} after postprocess (class 1 never survives cleanup)
+    vis = cv2.imread(str(mask_png), cv2.IMREAD_GRAYSCALE)
+    assert set(np.unique(vis)).issubset({0, 255})
+
+    # contour JSON parity with a cv2-built oracle from the mask artifact
+    contour_json = out / "scan_001.json"
+    cs, _ = cv2.findContours(
+        cv2.threshold(vis, 127, 255, cv2.THRESH_BINARY)[1],
+        cv2.RETR_EXTERNAL,
+        cv2.CHAIN_APPROX_SIMPLE,
+    )
+    if len(cs) == 0:
+        assert not contour_json.exists()
+    else:
+        contours = [[tuple(int(v) for v in p) for p in c.reshape(-1, 2)] for c in cs]
+        mapped = [
+            [(int(x * w / 64), int(y * h / 64)) for (x, y) in c] for c in contours
+        ]
+        want = jsonfmt.contour_json_bytes(mapped, "scan_001", w, h)
+        assert contour_json.read_bytes() == want
+        assert (out / "scan_001_contour_overlay.png").exists()
+        # schema sanity
+        obj = json.loads(want)
+        assert obj["version"] == "1.0.2.812"
+        assert obj["imagePath"] == "scan_001.raw"
+        assert obj["imageWidth"] == w and obj["imageHeight"] == h
+
+
+def test_log_file_layout(initialized_engine, tmp_path):
+    cache = initialized_engine
+    log_path = os.path.join(os.path.dirname(cache), "..", "log",
+                            "segmentation_log.txt")
+    assert os.path.exists(log_path)
+    content = open(log_path).read()
+    assert "=== Initializing Medical Image Segmentation Engine ===" in content
+    assert "Engine initialized successfully" in content
+
+    w, h = 64, 64
+    raw_path = tmp_path / "x.raw"
+    _make_raw(raw_path, w, h)
+    assert engine.process_single_image(str(raw_path), w, h, str(tmp_path / "o"))
+    content = open(log_path).read()
+    assert "=== Processing Image: x.raw ===" in content
+    assert "Inference time:" in content
+    assert "Total processing time:" in content
+
+
+def test_init_missing_cache(tmp_path):
+    cache = tmp_path / "engine" / "missing.ckpt"
+    cache.parent.mkdir()
+    assert not engine.initialize_engine(str(cache))
+    log = tmp_path / "log" / "segmentation_log.txt"
+    assert log.exists() and "not found" in log.read_text()
+    engine.cleanup_resources()
+
+
+def test_process_without_init_fails(tmp_path):
+    engine.cleanup_resources()
+    raw_path = tmp_path / "y.raw"
+    _make_raw(raw_path, 32, 32)
+    assert not engine.process_single_image(str(raw_path), 32, 32, str(tmp_path))
+
+
+def test_process_missing_file(initialized_engine, tmp_path):
+    assert not engine.process_single_image(
+        str(tmp_path / "nope.raw"), 64, 64, str(tmp_path)
+    )
+
+
+def test_batched_matches_serial(initialized_engine, tmp_path):
+    w, h = 90, 70
+    files = []
+    for i in range(5):
+        p = tmp_path / f"s_{i:03d}.raw"
+        _make_raw(p, w, h, seed=i)
+        files.append(str(p))
+
+    serial_dir = tmp_path / "serial"
+    batch_dir = tmp_path / "batch"
+    for f in files:
+        assert engine.process_single_image(f, w, h, str(serial_dir))
+    ok, fail = engine.process_batch(
+        files, w, h, [str(batch_dir)] * len(files), batch_size=2
+    )
+    assert ok == 5 and fail == 0
+
+    for i in range(5):
+        base = f"s_{i:03d}"
+        a = cv2.imread(str(serial_dir / f"{base}_mask.png"), cv2.IMREAD_GRAYSCALE)
+        b = cv2.imread(str(batch_dir / f"{base}_mask.png"), cv2.IMREAD_GRAYSCALE)
+        # device preprocess (f32) may differ from bit-exact host preprocess by
+        # <=1 gray level on a tiny pixel fraction; masks must still agree to
+        # IoU >= 0.999 (the BASELINE bar) — with random weights, usually equal.
+        inter = np.logical_and(a > 0, b > 0).sum()
+        union = np.logical_or(a > 0, b > 0).sum()
+        assert union == 0 or inter / union >= 0.999
+        for suffix in ("_normalized.png", "_original_sizes.json"):
+            assert (batch_dir / f"{base}{suffix}").exists()
+
+        sj = (serial_dir / f"{base}.json")
+        bj = (batch_dir / f"{base}.json")
+        assert sj.exists() == bj.exists()
+
+
+def test_cli_repl(tmp_path, capsys, monkeypatch):
+    import io
+
+    from unetseg_tpu import cli
+
+    cache = tmp_path / "engine" / "model.ckpt"
+    cache.parent.mkdir()
+    checkpoint.create(str(cache), SMALL, seed=0)
+    raw_path = tmp_path / "img.raw"
+    _make_raw(raw_path, 64, 64)
+    out_dir = tmp_path / "cli_out"
+
+    script = "\n".join([
+        "help",
+        "bogus",
+        f"process {raw_path} 64 64 {out_dir}",  # before init
+        f"init {cache}",
+        f"process {raw_path} 64 64 {out_dir}",
+        "exit",
+    ]) + "\n"
+    cli.repl(stdin=io.StringIO(script))
+    captured = capsys.readouterr()
+    assert "Welcome to Medical Image Segmentation Tool" in captured.out
+    assert "Unknown command: bogus" in captured.err
+    assert "Error: Engine not initialized" in captured.err
+    assert "Engine initialized successfully" in captured.out
+    assert "Processing completed" in captured.out
+    assert "Exiting..." in captured.out
+    assert (out_dir / "img_mask.png").exists()
+
+
+def test_cli_directory_recursive(tmp_path, capsys):
+    import io
+
+    from unetseg_tpu import cli
+
+    cache = tmp_path / "engine" / "model.ckpt"
+    cache.parent.mkdir()
+    checkpoint.create(str(cache), SMALL, seed=0)
+    (tmp_path / "data" / "sub").mkdir(parents=True)
+    _make_raw(tmp_path / "data" / "a.raw", 64, 64, seed=1)
+    _make_raw(tmp_path / "data" / "sub" / "b.raw", 64, 64, seed=2)
+    (tmp_path / "data" / "ignore.txt").write_text("x")
+    out_dir = tmp_path / "dout"
+
+    script = "\n".join([
+        f"init {cache}",
+        f"process -r {tmp_path/'data'} 64 64 {out_dir}",
+        "exit",
+    ]) + "\n"
+    cli.repl(stdin=io.StringIO(script))
+    captured = capsys.readouterr()
+    assert "Found 2 images to process" in captured.out
+    assert "Success: 2 files" in captured.out
+    assert (out_dir / "a_mask.png").exists()
+    assert (out_dir / "sub" / "b_mask.png").exists()  # mirrored structure

@@ -1,0 +1,70 @@
+"""Model checkpoint = the reference's serialized-engine analog.
+
+The reference's "checkpoint" is an opaque TensorRT plan file deserialized at
+init (``/root/reference/src/initialize.cpp:48-60``); its provenance chain is
+PyTorch .pt -> ONNX -> .trt (``.gitignore:2-7``).  Ours is a single-file
+msgpack bundle: model config + float32 parameter pytree.  The XLA analog of
+the plan file's *compiled* nature is the JAX persistent compilation cache,
+configured at initialize() time (engine.py), so re-inits skip compilation the
+same way deserializing a plan skips the TRT build.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from unetseg_tpu.config import ModelConfig
+from unetseg_tpu.models import unet
+
+MAGIC = b"UTPUCKPT1\n"
+
+
+def save(path: str, params, cfg: ModelConfig) -> None:
+    """Serialize config + params to a single plan-file-like artifact."""
+    params = jax.device_get(params)
+    header = dict(dataclasses.asdict(cfg))
+    payload = serialization.msgpack_serialize({"config": header, "params": params})
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        f.write(payload)
+    os.replace(tmp, path)
+
+
+def load(path: str) -> Tuple[dict, ModelConfig]:
+    """Deserialize a checkpoint; returns (params, model_config)."""
+    with open(path, "rb") as f:
+        magic = f.read(len(MAGIC))
+        if magic != MAGIC:
+            raise ValueError(f"Not a unetseg_tpu checkpoint: {path}")
+        blob = f.read()
+    data = serialization.msgpack_restore(blob)
+    cfg = ModelConfig(**data["config"])
+    return data["params"], cfg
+
+
+def create(path: str, cfg: ModelConfig = ModelConfig(), seed: int = 0) -> None:
+    """Create a fresh randomly-initialized checkpoint (for tests/demo/train)."""
+    params = unet.init(jax.random.key(seed), cfg)
+    save(path, params, cfg)
+
+
+def params_from_torch_state_dict(state_dict, cfg: ModelConfig = ModelConfig()):
+    """Import weights from the canonical PyTorch UNet layout.
+
+    The reference's training pipeline lives outside its repo; its artifact
+    chain starts from a torch checkpoint (``.gitignore:2``).  This importer
+    accepts a state_dict from the standard UNet layout (milesial-style naming:
+    ``inc``, ``down{i}``, ``up{i}``, ``outc`` or plain ``encoder.{i}...``) and
+    converts OIHW conv weights to our HWIO/NHWC pytree.  See
+    models/import_torch.py for the full mapping logic.
+    """
+    from unetseg_tpu.models.import_torch import convert_state_dict
+
+    return convert_state_dict(state_dict, cfg)

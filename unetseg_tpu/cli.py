@@ -1,0 +1,165 @@
+"""Interactive CLI REPL — same grammar as the reference.
+
+Parity with ``/root/reference/src/main.cpp:51-196``:
+
+    init <engine_cache_path>
+    process [-r] <input> <width> <height> [output_dir]
+    exit
+    help
+
+Directory inputs are walked (recursively with -r), mirroring relative paths
+into the output directory; per-file failures do not abort the batch.  A
+``--batched`` flag on process enables the TPU throughput path (batch-32
+fused inference) — the reference's loop is serial (src/main.cpp:148-164).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from unetseg_tpu import engine
+from unetseg_tpu.io import raw as raw_io
+
+
+def print_usage() -> None:
+    print("\nMedical Image Segmentation Tool (TPU)")
+    print("Commands:")
+    print("  init <engine_cache_path>      - Initialize segmentation engine")
+    print("  process [-r] [--batched] <input> <width> <height> [output_dir] - Process file/directory")
+    print("  exit                          - Cleanup and exit")
+    print("\nOptions:")
+    print("  -r                            - Recursively process directory")
+    print("  --batched                     - Use batched TPU inference for directories")
+    print("  <input>                       - Path to image file or directory")
+
+
+def _process_directory(input_path: str, width: int, height: int,
+                       output_dir: str, recursive: bool, batched: bool) -> None:
+    print(f"Processing directory: {input_path}")
+    print(f"Recursive: {'Yes' if recursive else 'No'}")
+
+    files = raw_io.find_16bit_images(input_path, recursive)
+    if not files:
+        print("No 16-bit images found in directory")
+        return
+    print(f"Found {len(files)} images to process")
+
+    out_dirs = []
+    for f in files:
+        file_output_dir = output_dir
+        if recursive:
+            rel = os.path.dirname(os.path.relpath(f, input_path))
+            file_output_dir = os.path.join(output_dir, rel)
+            os.makedirs(file_output_dir, exist_ok=True)
+        out_dirs.append(file_output_dir)
+
+    if batched:
+        ok, fail = engine.process_batch(files, width, height, out_dirs)
+    else:
+        ok = fail = 0
+        for f, d in zip(files, out_dirs):
+            print(f"\nProcessing: {f}")
+            if engine.process_single_image(f, width, height, d):
+                ok += 1
+            else:
+                fail += 1
+
+    print("\nDirectory processing completed:")
+    print(f"  Success: {ok} files")
+    print(f"  Failed: {fail} files")
+
+
+def repl(stdin=None) -> int:
+    stdin = stdin or sys.stdin
+    initialized = False
+    print("Welcome to Medical Image Segmentation Tool")
+    print_usage()
+
+    while True:
+        print("\n> ", end="", flush=True)
+        line = stdin.readline()
+        if not line:
+            break
+        parts = line.split()
+        if not parts:
+            continue
+        cmd = parts[0]
+
+        if cmd == "init":
+            if len(parts) < 2:
+                print("Error: Missing engine cache path", file=sys.stderr)
+                continue
+            cache_path = parts[1]
+            if engine.initialize_engine(cache_path):
+                print("Engine initialized successfully")
+                initialized = True
+            else:
+                print("Engine initialization failed", file=sys.stderr)
+
+        elif cmd == "process":
+            if not initialized:
+                print("Error: Engine not initialized", file=sys.stderr)
+                continue
+            args = parts[1:]
+            recursive = batched = False
+            while args and args[0] in ("-r", "--batched"):
+                if args[0] == "-r":
+                    recursive = True
+                else:
+                    batched = True
+                args.pop(0)
+            if len(args) < 3:
+                print("Error: Invalid process command", file=sys.stderr)
+                continue
+            input_path = args[0]
+            try:
+                width, height = int(args[1]), int(args[2])
+            except ValueError:
+                print("Error: Invalid process command", file=sys.stderr)
+                continue
+            output_dir = args[3] if len(args) > 3 else os.path.dirname(input_path)
+            os.makedirs(output_dir or ".", exist_ok=True)
+
+            try:
+                if os.path.isdir(input_path):
+                    _process_directory(
+                        input_path, width, height, output_dir, recursive, batched
+                    )
+                elif os.path.isfile(input_path):
+                    print(f"Processing file: {input_path}")
+                    if engine.process_single_image(
+                        input_path, width, height, output_dir
+                    ):
+                        print("Processing completed")
+                    else:
+                        print("Processing failed", file=sys.stderr)
+                else:
+                    print(
+                        "Error: Input path is not a valid file or directory",
+                        file=sys.stderr,
+                    )
+            except Exception as e:
+                print(f"Processing error: {e}", file=sys.stderr)
+
+        elif cmd == "exit":
+            if initialized:
+                engine.cleanup_resources()
+            print("Exiting...")
+            break
+
+        elif cmd == "help":
+            print_usage()
+
+        else:
+            print(f"Unknown command: {cmd}", file=sys.stderr)
+
+    return 0
+
+
+def main() -> int:
+    return repl()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,327 @@
+"""Engine lifecycle + per-image pipeline orchestration.
+
+Mirrors the reference's three public entry points and its artifact contract:
+
+* ``initialize_engine(cache_path, log_dir)``  — include/initialize.h:12,
+  impl src/initialize.cpp:26-76.  Loads the model checkpoint (the TensorRT
+  plan-file analog), opens the truncate-on-init log, configures the JAX
+  persistent compilation cache, and **AOT-compiles** the full fused inference
+  program — warm-up + CUDA-Graph capture (src/process.cpp:92-105) collapse
+  into one `jit(...).lower().compile()`.
+* ``process_single_image(path, w, h, out_dir)`` — include/process.h:29,
+  impl src/process.cpp:188-262.  Same five artifacts with the same names:
+  ``{base}_normalized.png``, ``{base}_original_sizes.json``,
+  ``{base}_mask.png``, ``{base}_contour_overlay.png``, ``{base}.json``.
+* ``cleanup_resources()`` — include/cleanup.h:7, impl src/cleanup.cpp:10-64.
+
+Where the reference stages communicate through files re-read from disk
+(src/process.cpp:207-217), we pass arrays in memory — the PNG round-trips are
+lossless so the artifacts are still written byte-for-byte, but the hot path
+never touches the filesystem twice.
+
+The whole dense pipeline (normalize -> UNet -> argmax -> hole fill -> open ->
+component filter) is ONE XLA executable per batch shape: XLA's whole-program
+launch is the CUDA-Graph analog, and donated input buffers are the
+preallocated-device-buffer analog (src/process.cpp:74-87).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import traceback
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unetseg_tpu import checkpoint
+from unetseg_tpu.config import ModelConfig
+from unetseg_tpu.io import native, png, raw as raw_io
+from unetseg_tpu.models import unet
+from unetseg_tpu.ops import decode, postprocess, preprocess
+from unetseg_tpu.utils.logger import GLOBAL_LOG, derive_log_dir
+
+TARGET = 512
+
+
+class InferenceEngine:
+    """Holds params on device + compiled executables per batch size.
+
+    The analog of TensorRTContext (include/process.h:13-26): instead of
+    (IExecutionContext, stream, device buffers, cudaGraphExec), we keep the
+    device-resident param pytree and a cache of AOT-compiled XLA programs.
+    """
+
+    def __init__(self, params, cfg: ModelConfig):
+        self.cfg = cfg
+        self.size = cfg.image_size  # reference hard-codes 512 (process.cpp:70)
+        self.params = jax.device_put(params)
+        self._compiled: Dict[int, jax.stages.Compiled] = {}
+
+    # -- the fused dense pipeline ------------------------------------------
+    def _pipeline(self, params, u8_batch):
+        """(N, 512, 512) uint8 -> cleaned {0,2} uint8 masks, one XLA program."""
+        x = preprocess.model_input_from_u8(u8_batch)[..., None]
+        logits = unet.apply(params, x, self.cfg)
+        mask = decode.decode_mask(logits, self.cfg.num_classes)
+        return jax.vmap(postprocess.postprocess_mask)(mask)
+
+    def compile(self, batch_size: int) -> jax.stages.Compiled:
+        """AOT compile for a batch size (warm-up + graph capture analog)."""
+        if batch_size not in self._compiled:
+            fn = jax.jit(self._pipeline, donate_argnums=(1,))
+            shape = jax.ShapeDtypeStruct(
+                (batch_size, self.size, self.size), jnp.uint8
+            )
+            self._compiled[batch_size] = fn.lower(self.params, shape).compile()
+        return self._compiled[batch_size]
+
+    def infer(self, u8_batch: np.ndarray) -> jax.Array:
+        """Run the fused program; returns device array (async dispatch)."""
+        n = u8_batch.shape[0]
+        return self.compile(n)(self.params, jnp.asarray(u8_batch))
+
+
+# --------------------------------------------------------------------------
+# Global engine state (parity with g_runtime/g_engine, initialize.h:24-25)
+# --------------------------------------------------------------------------
+
+_engine: Optional[InferenceEngine] = None
+
+
+def get_engine() -> Optional[InferenceEngine]:
+    return _engine
+
+
+def initialize_engine(cache_path: str, log_dir: Optional[str] = None) -> bool:
+    """Load checkpoint, open log, set up compile cache, AOT-compile batch-1."""
+    global _engine
+    try:
+        if log_dir is None:
+            log_dir = derive_log_dir(cache_path)
+        if not GLOBAL_LOG.open(log_dir):
+            return False
+        GLOBAL_LOG.write("=== Initializing Medical Image Segmentation Engine ===")
+        GLOBAL_LOG.write(f"Engine Cache: {cache_path}")
+
+        if not os.path.exists(cache_path):
+            GLOBAL_LOG.write(f"Error: engine cache file not found - {cache_path}")
+            return False
+
+        # Persistent compilation cache: the .trt plan-file analog — re-inits
+        # and re-runs skip XLA compilation entirely.
+        try:
+            cache_dir = os.path.join(os.path.dirname(cache_path), "jax_cache")
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        except Exception:
+            pass  # cache is an optimization, never fatal
+
+        params, cfg = checkpoint.load(cache_path)
+        _engine = InferenceEngine(params, cfg)
+        t0 = time.perf_counter()
+        _engine.compile(1)
+        compile_ms = int((time.perf_counter() - t0) * 1000)
+
+        size = cfg.image_size
+        GLOBAL_LOG.write("Engine initialized successfully")
+        GLOBAL_LOG.write(f"Context compiled for fixed {size}x{size} input")
+        GLOBAL_LOG.write(f"  Input size: {size * size * 4} bytes")
+        GLOBAL_LOG.write(
+            f"  Output size: {cfg.num_classes * size * size * 4} bytes "
+            f"(classes={cfg.num_classes})"
+        )
+        GLOBAL_LOG.record(event="init", cache=cache_path, compile_ms=compile_ms)
+        return True
+    except Exception as e:
+        print(f"Initialization error: {e}")
+        if GLOBAL_LOG.is_open():
+            GLOBAL_LOG.write(f"Initialization error: {e}")
+        return False
+
+
+def cleanup_resources() -> None:
+    """Ordered teardown, parity with src/cleanup.cpp:10-64."""
+    global _engine
+    if GLOBAL_LOG.is_open():
+        GLOBAL_LOG.write("=== Cleaning up resources ===")
+    if _engine is not None:
+        _engine._compiled.clear()
+        _engine.params = None
+        _engine = None
+    if GLOBAL_LOG.is_open():
+        GLOBAL_LOG.write("Cleanup completed")
+    GLOBAL_LOG.close()
+
+
+# --------------------------------------------------------------------------
+# Per-image pipeline (parity with process_single_image, src/process.cpp:188)
+# --------------------------------------------------------------------------
+
+def _polygonize(mask_vis: np.ndarray, output_dir: str, base_name: str,
+                original_w: int, original_h: int,
+                normalized_png_path: str) -> None:
+    """Contours -> overlay PNG + scaled labelme JSON.
+
+    Parity with Mask2Polygon::process_single_mask (src/mask2polygon.cpp:134):
+    threshold >127, EXTERNAL/SIMPLE contours; empty contours -> warn and skip
+    both overlay and JSON; overlay drawn with *unscaled* coords on the
+    normalized PNG; JSON points scaled by (orig/scaled) with truncation.
+    Like the reference (src/mask2polygon.cpp:219-221), failures here are
+    caught and reported without failing the image.
+    """
+    try:
+        print(f"Processing Mask: {base_name}.png")
+        scaled_h, scaled_w = mask_vis.shape
+        print(f"Original Size: {original_w}x{original_h}")
+        print(f"Scaled Size: {scaled_w}x{scaled_h}")
+
+        contours = native.extract_contours(mask_vis)
+        if not contours:
+            print("Warning: No Contours Detected")
+            return
+        print(f"Extracted {len(contours)} Contours")
+
+        overlay_path = os.path.join(output_dir, base_name + "_contour_overlay.png")
+        overlay = png.read_png_bgr(normalized_png_path)
+        png.draw_contours_overlay(overlay, contours)
+        png.write_png(overlay_path, overlay, compression=3)
+        print(f"Overlay Image Saved to: {overlay_path}")
+
+        scale_x = original_w / scaled_w
+        scale_y = original_h / scaled_h
+        json_bytes = native.contour_json_bytes(
+            contours, base_name, original_w, original_h, scale_x, scale_y
+        )
+        json_path = os.path.join(output_dir, base_name + ".json")
+        with open(json_path, "wb") as f:
+            f.write(json_bytes)
+        print(f"JSON Saved to: {json_path}")
+    except Exception as e:
+        print(f"Processing Failure: {e}")
+
+
+def process_single_image(raw_path: str, width: int, height: int,
+                         output_dir: str) -> bool:
+    try:
+        eng = get_engine()
+        if eng is None:
+            raise RuntimeError("Engine not initialized")
+
+        base_name = os.path.splitext(os.path.basename(raw_path))[0]
+        GLOBAL_LOG.write(
+            f"\n=== Processing Image: {os.path.basename(raw_path)} ==="
+        )
+        os.makedirs(output_dir, exist_ok=True)
+
+        t_total = time.perf_counter()
+
+        # --- preprocess (bit-exact host path; src/preprocess.cpp:76) ------
+        normalized_png = os.path.join(output_dir, base_name + "_normalized.png")
+        size_json = os.path.join(output_dir, base_name + "_original_sizes.json")
+        mask_png = os.path.join(output_dir, base_name + "_mask.png")
+
+        size = eng.size
+        raw = raw_io.read_raw(raw_path, width, height)
+        u8 = native.preprocess_u8(np.asarray(raw), size)
+        png.write_png(normalized_png, u8, compression=0)
+        with open(size_json, "wb") as f:
+            f.write(
+                native.size_json_bytes(
+                    os.path.basename(raw_path), width, height, size, size
+                )
+            )
+
+        # --- inference + device postprocess (one XLA program) -------------
+        t_inf = time.perf_counter()
+        mask = np.asarray(eng.infer(u8[None]))[0]
+        inference_ms = int((time.perf_counter() - t_inf) * 1000)
+        GLOBAL_LOG.write(f"Inference time: {inference_ms} ms")
+
+        # --- mask artifact (LUT vis; src/process.cpp:178-185,234-239) -----
+        vis = np.asarray(decode.mask_to_image(mask))
+        png.write_png(mask_png, vis, compression=0)
+
+        # --- polygonize (host native; src/process.cpp:242) ----------------
+        _polygonize(vis, output_dir, base_name, width, height, normalized_png)
+
+        total_ms = int((time.perf_counter() - t_total) * 1000)
+        GLOBAL_LOG.write(f"Total processing time: {total_ms} ms")
+        GLOBAL_LOG.write(f"Processing completed for: {base_name}")
+        GLOBAL_LOG.record(
+            event="image", file=os.path.basename(raw_path),
+            inference_ms=inference_ms, total_ms=total_ms,
+        )
+        print(f"Total processing time: {total_ms} ms")
+        return True
+    except Exception as e:
+        print(f"Processing error: {e}")
+        if GLOBAL_LOG.is_open():
+            GLOBAL_LOG.write(f"Processing error: {e}")
+        return False
+
+
+# --------------------------------------------------------------------------
+# Batched throughput path (the TPU lever the reference lacks; SURVEY §2 DP)
+# --------------------------------------------------------------------------
+
+def process_batch(raw_paths: List[str], width: int, height: int,
+                  output_dirs: List[str], batch_size: int = 32) -> Tuple[int, int]:
+    """Batched pipeline over same-sized RAW slices.
+
+    Host loads + device-fused preprocess + batched UNet + postprocess, with
+    JAX async dispatch double-buffering device work against host PNG/JSON
+    emission.  Returns (success, fail) counts; per-image failures do not
+    abort the batch (parity with src/main.cpp:159-163).
+    """
+    eng = get_engine()
+    if eng is None:
+        raise RuntimeError("Engine not initialized")
+
+    n_ok = 0
+    n_fail = 0
+    pending = []  # (device_masks, u8_batch, metas)
+
+    def drain(entry):
+        nonlocal n_ok, n_fail
+        masks, u8s, metas = entry
+        masks = np.asarray(masks)
+        for k, (path, out_dir) in enumerate(metas):
+            try:
+                base = os.path.splitext(os.path.basename(path))[0]
+                os.makedirs(out_dir, exist_ok=True)
+                normalized_png = os.path.join(out_dir, base + "_normalized.png")
+                png.write_png(normalized_png, u8s[k], compression=0)
+                with open(os.path.join(out_dir, base + "_original_sizes.json"), "wb") as f:
+                    f.write(native.size_json_bytes(
+                        os.path.basename(path), width, height, eng.size, eng.size))
+                vis = np.asarray(decode.mask_to_image(masks[k]))
+                png.write_png(os.path.join(out_dir, base + "_mask.png"), vis,
+                              compression=0)
+                _polygonize(vis, out_dir, base, width, height, normalized_png)
+                n_ok += 1
+            except Exception as e:
+                print(f"Processing error: {e}")
+                n_fail += 1
+
+    for i in range(0, len(raw_paths), batch_size):
+        chunk = raw_paths[i: i + batch_size]
+        dirs = output_dirs[i: i + batch_size]
+        raws = np.stack(
+            [np.asarray(raw_io.read_raw(p, width, height)) for p in chunk]
+        )
+        if len(chunk) < batch_size:  # pad ragged tail: one compiled shape only
+            pad = np.repeat(raws[-1:], batch_size - len(chunk), axis=0)
+            raws = np.concatenate([raws, pad], axis=0)
+        u8_dev, _ = preprocess.preprocess_batch(jnp.asarray(raws), eng.size)
+        u8s = np.asarray(u8_dev)
+        masks = eng.infer(u8s)  # async dispatch overlaps with host drain
+        pending.append((masks, u8s, list(zip(chunk, dirs))))
+        # double buffering: drain the previous batch while this one runs
+        if len(pending) > 1:
+            drain(pending.pop(0))
+    while pending:
+        drain(pending.pop(0))
+    return n_ok, n_fail
