@@ -7,7 +7,7 @@ TPU hardware.  Must run before `import jax`.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,3 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Plugins (e.g. jaxtyping's) may import jax before this conftest runs, in
+# which case the env var was read too late — force the platform through the
+# config as well (valid until backends are initialized).
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -35,6 +35,9 @@ class ModelConfig:
     # TPU-native compute dtype; params are stored float32, logits returned
     # float32.  bfloat16 keeps the MXU at full rate.
     compute_dtype: str = "bfloat16"
+    # Rematerialize each conv stage in the backward pass (jax.checkpoint):
+    # trades FLOPs for HBM so large-batch 512² training fits.
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -155,19 +155,29 @@ def apply(params: Params, x: jax.Array, cfg: ModelConfig = ModelConfig()) -> jax
     dtype = jnp.dtype(cfg.compute_dtype)
     x = x.astype(dtype)
 
+    def enc_stage(x, stage):
+        return _double_conv(x, stage, dtype=dtype)
+
+    def dec_stage(x, skip, stage):
+        x = _conv_transpose(x, stage["up"], dtype=dtype)
+        x = jnp.concatenate([skip.astype(dtype), x], axis=-1)
+        x = jax.nn.relu(_conv(x, stage["conv1"], dtype=dtype))
+        return jax.nn.relu(_conv(x, stage["conv2"], dtype=dtype))
+
+    if cfg.remat:  # trade recompute for HBM in the backward pass
+        enc_stage = jax.checkpoint(enc_stage)
+        dec_stage = jax.checkpoint(dec_stage)
+
     skips = []
     for stage in params["encoder"]:
-        x = _double_conv(x, stage, dtype=dtype)
+        x = enc_stage(x, stage)
         skips.append(x)
         x = _max_pool_2x2(x)
 
     x = _double_conv(x, params["bottleneck"], dtype=dtype)
 
     for stage, skip in zip(params["decoder"], reversed(skips)):
-        x = _conv_transpose(x, stage["up"], dtype=dtype)
-        x = jnp.concatenate([skip.astype(dtype), x], axis=-1)
-        x = jax.nn.relu(_conv(x, stage["conv1"], dtype=dtype))
-        x = jax.nn.relu(_conv(x, stage["conv2"], dtype=dtype))
+        x = dec_stage(x, skip, stage)
 
     logits = _conv(x, params["head"], dtype=dtype)
     return logits.astype(jnp.float32)

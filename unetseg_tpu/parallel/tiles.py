@@ -1,0 +1,129 @@
+"""Sliding-window inference with overlap blending (BASELINE config 3).
+
+For inputs larger than the network's 512² field (1024² pathology/dermoscopy
+tiles, whole-slide crops), the reference simply *downsamples everything to
+512²* (``/root/reference/src/preprocess.cpp:81``), losing resolution.  The
+TPU framework adds true high-resolution inference:
+
+* the image is cut into a static grid of 512² windows with configurable
+  overlap (the "sequence" of the spatial domain, SURVEY §5),
+* all windows run as ONE sharded batch over the ``dp`` mesh axis,
+* per-class logits are blended back with a separable cosine (Hann) ramp
+  weight map — seams vanish because every pixel is a convex combination of
+  all windows covering it,
+* the blended logit canvas is decoded + postprocessed as a single image.
+
+Everything is static-shaped: the window grid is computed at trace time from
+the (static) image shape, so XLA sees a fixed gather/scatter pattern.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unetseg_tpu.config import ModelConfig
+from unetseg_tpu.models import unet
+from unetseg_tpu.ops import decode, postprocess
+
+
+def window_grid(size: int, window: int, stride: int) -> List[int]:
+    """Static window origins covering [0, size) with the final window clamped
+    flush to the edge (every pixel covered, no out-of-bounds)."""
+    if size <= window:
+        return [0]
+    starts = list(range(0, size - window + 1, stride))
+    if starts[-1] != size - window:
+        starts.append(size - window)
+    return starts
+
+
+@functools.lru_cache(maxsize=8)
+def _hann_weight(window: int) -> np.ndarray:
+    """Separable raised-cosine blend weight, strictly positive."""
+    r = np.arange(window, dtype=np.float64)
+    w1 = 0.5 - 0.5 * np.cos(2.0 * np.pi * (r + 0.5) / window)
+    w1 = np.maximum(w1, 1e-3)
+    return (w1[:, None] * w1[None, :]).astype(np.float32)
+
+
+def extract_windows(img: jax.Array, window: int, stride: int) -> jax.Array:
+    """(H, W) -> (n_windows, window, window); static grid, unrolled slices."""
+    h, w = img.shape
+    ys = window_grid(h, window, stride)
+    xs = window_grid(w, window, stride)
+    tiles = [
+        jax.lax.slice(img, (y, x), (y + window, x + window))
+        for y in ys
+        for x in xs
+    ]
+    return jnp.stack(tiles)
+
+
+def blend_windows(logit_tiles: jax.Array, h: int, w: int, window: int,
+                  stride: int) -> jax.Array:
+    """(n, window, window, C) -> (h, w, C) weighted-blended logit canvas."""
+    ys = window_grid(h, window, stride)
+    xs = window_grid(w, window, stride)
+    weight = jnp.asarray(_hann_weight(window))
+    c = logit_tiles.shape[-1]
+    canvas = jnp.zeros((h, w, c), jnp.float32)
+    wsum = jnp.zeros((h, w, 1), jnp.float32)
+    k = 0
+    for y in ys:
+        for x in xs:
+            canvas = jax.lax.dynamic_update_slice(
+                canvas,
+                jax.lax.dynamic_slice(canvas, (y, x, 0), (window, window, c))
+                + logit_tiles[k] * weight[..., None],
+                (y, x, 0),
+            )
+            wsum = jax.lax.dynamic_update_slice(
+                wsum,
+                jax.lax.dynamic_slice(wsum, (y, x, 0), (window, window, 1))
+                + weight[..., None],
+                (y, x, 0),
+            )
+            k += 1
+    return canvas / wsum
+
+
+def sliding_window_logits(params, img_f32: jax.Array, cfg: ModelConfig,
+                          window: int = 512, overlap: int = 128) -> jax.Array:
+    """(H, W) float image in [0,1] -> (H, W, C) blended logits."""
+    h, w = img_f32.shape
+    stride = window - overlap
+    tiles = extract_windows(img_f32, window, stride)[..., None]
+    logit_tiles = unet.apply(params, tiles, cfg)
+    return blend_windows(logit_tiles, h, w, window, stride)
+
+
+def make_tiled_pipeline(cfg: ModelConfig, window: int = 512,
+                        overlap: int = 128, mesh=None):
+    """jitted (params, u8 (H,W)) -> {0,2} mask (H,W) via sliding window.
+
+    With a mesh, the window batch is sharded over ``dp`` (tiles ride ICI to
+    their chips; the blend is a cheap replicated epilogue).
+    """
+
+    def pipeline(params, u8):
+        x = u8.astype(jnp.float32) / 255.0
+        h, w = x.shape
+        stride = window - overlap
+        tiles = extract_windows(x, window, stride)[..., None]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            tiles = jax.lax.with_sharding_constraint(
+                tiles, NamedSharding(mesh, P("dp"))
+            )
+        logit_tiles = unet.apply(params, tiles, cfg)
+        logits = blend_windows(logit_tiles, h, w, window, stride)
+        mask = decode.decode_mask(logits, cfg.num_classes)
+        return postprocess.postprocess_mask(mask)
+
+    return jax.jit(pipeline)

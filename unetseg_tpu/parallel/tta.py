@@ -1,0 +1,72 @@
+"""Test-time-augmentation ensemble (BASELINE config 5).
+
+The 8 dihedral transforms (4 rotations x optional horizontal flip) of the
+input run as one batch of 8 — sharded 1:1 across a v5e-8 mesh — and the
+inverse-transformed logits are averaged before the argmax decode.  The mean
+reduction is the only cross-device collective (an all-reduce over ``dp``
+inserted by XLA), riding ICI.
+
+The reference has no TTA; this is net-new TPU capability (SURVEY §2
+parallelism table, row DP/TTA).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from unetseg_tpu.config import ModelConfig
+from unetseg_tpu.models import unet
+from unetseg_tpu.ops import decode, postprocess
+
+N_TRANSFORMS = 8
+
+
+def dihedral(img: jax.Array, k: int) -> jax.Array:
+    """k in [0,8): rot90 by (k % 4), horizontal flip if k >= 4.
+
+    Operates on the leading two (H, W) axes.
+    """
+    out = jnp.rot90(img, k % 4, axes=(0, 1))
+    if k >= 4:
+        out = jnp.flip(out, axis=1)
+    return out
+
+
+def dihedral_inverse(img: jax.Array, k: int) -> jax.Array:
+    if k >= 4:
+        img = jnp.flip(img, axis=1)
+    return jnp.rot90(img, -(k % 4), axes=(0, 1))
+
+
+def tta_logits(params, img_f32: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """(H, W) float in [0,1] -> (H, W, C) ensemble-mean logits."""
+    batch = jnp.stack([dihedral(img_f32, k) for k in range(N_TRANSFORMS)])
+    logits = unet.apply(params, batch[..., None], cfg)
+    undone = jnp.stack(
+        [dihedral_inverse(logits[k], k) for k in range(N_TRANSFORMS)]
+    )
+    return jnp.mean(undone, axis=0)
+
+
+def make_tta_pipeline(cfg: ModelConfig, mesh=None):
+    """jitted (params, u8 (H,W)) -> {0,2} mask with 8-fold TTA ensemble."""
+
+    def pipeline(params, u8):
+        x = u8.astype(jnp.float32) / 255.0
+        batch = jnp.stack([dihedral(x, k) for k in range(N_TRANSFORMS)])[..., None]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch = jax.lax.with_sharding_constraint(
+                batch, NamedSharding(mesh, P("dp"))
+            )
+        logits = unet.apply(params, batch, cfg)
+        undone = jnp.stack(
+            [dihedral_inverse(logits[k], k) for k in range(N_TRANSFORMS)]
+        )
+        mean_logits = jnp.mean(undone, axis=0)
+        mask = decode.decode_mask(mean_logits, cfg.num_classes)
+        return postprocess.postprocess_mask(mask)
+
+    return jax.jit(pipeline)

@@ -1,0 +1,105 @@
+"""Training step for the UNet — the missing upstream of the reference.
+
+The reference ships only the inference artifact; its training pipeline
+(PyTorch -> ONNX -> TRT, ``.gitignore:2-7``) lives outside the repo.  We make
+it first-class and TPU-native:
+
+* loss = softmax cross-entropy + soft Dice (the standard medical-seg combo),
+* optax AdamW with cosine schedule,
+* one jitted, fully sharded train step over a (dp, sp) mesh: batch over
+  ``dp``, image rows over ``sp`` (XLA SPMD spatially partitions the convs and
+  inserts halo exchanges over ICI); gradients all-reduce over both axes
+  automatically because params are replicated,
+* `jax.checkpoint` (rematerialization) on each encoder/decoder stage trades
+  FLOPs for HBM so 512² activations at depth-4/64ch fit comfortably.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from unetseg_tpu.config import ModelConfig
+from unetseg_tpu.models import unet
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_optimizer(lr: float = 1e-3, weight_decay: float = 1e-4,
+                   total_steps: int = 10_000) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=lr,
+        warmup_steps=max(1, total_steps // 20),
+        decay_steps=total_steps,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(schedule, weight_decay=weight_decay),
+    )
+
+
+def soft_dice_loss(logits: jax.Array, labels: jax.Array,
+                   num_classes: int, eps: float = 1e-6) -> jax.Array:
+    """Mean soft Dice over classes; logits (N,H,W,C), labels (N,H,W) int."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=probs.dtype)
+    inter = jnp.sum(probs * onehot, axis=(1, 2))
+    denom = jnp.sum(probs + onehot, axis=(1, 2))
+    dice = (2.0 * inter + eps) / (denom + eps)
+    return 1.0 - jnp.mean(dice)
+
+
+def segmentation_loss(params, batch: Tuple[jax.Array, jax.Array],
+                      cfg: ModelConfig) -> jax.Array:
+    imgs, labels = batch
+    logits = unet.apply(params, imgs, cfg)
+    ce = jnp.mean(
+        optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    )
+    dice = soft_dice_loss(logits, labels, cfg.num_classes)
+    return ce + dice
+
+
+def train_step(state: TrainState, batch, cfg: ModelConfig,
+               tx: optax.GradientTransformation) -> Tuple[TrainState, jax.Array]:
+    loss, grads = jax.value_and_grad(segmentation_loss)(
+        state.params, batch, cfg
+    )
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
+def init_state(rng: jax.Array, cfg: ModelConfig,
+               tx: optax.GradientTransformation) -> TrainState:
+    params = unet.init(rng, cfg)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def make_sharded_train_step(cfg: ModelConfig, mesh: Mesh,
+                            tx: optax.GradientTransformation):
+    """Jit the train step with real multi-chip shardings over (dp, sp).
+
+    Inputs: imgs (N, H, W, C) sharded P('dp','sp'); labels (N, H, W) sharded
+    P('dp','sp'); state replicated.  XLA inserts the grad all-reduce and the
+    conv halo exchanges.
+    """
+    repl = NamedSharding(mesh, P())
+    img_s = NamedSharding(mesh, P("dp", "sp"))
+
+    step = functools.partial(train_step, cfg=cfg, tx=tx)
+    return jax.jit(
+        step,
+        in_shardings=(repl, (img_s, img_s)),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
