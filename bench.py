@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Headline benchmark: 512² slices/sec/chip through the fused device pipeline.
+
+Measures the full dense path the framework deploys — u8 normalize -> depth-4
+64-ch UNet (bf16) -> argmax decode -> on-device postprocess (hole fill, 3x3
+open, component area filter) — as one XLA executable, batch-32, on whatever
+backend JAX selects (the driver runs this on one real TPU chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The baseline is the driver's north-star target of 500 512² slices/sec/chip
+(BASELINE.md; the C++ reference publishes no numbers of its own).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from unetseg_tpu.config import ModelConfig
+    from unetseg_tpu.models import unet
+    from unetseg_tpu.ops import decode, postprocess, preprocess
+
+    cfg = ModelConfig()  # 512², depth-4, base-64, bf16 compute
+    params = unet.init(jax.random.key(0), cfg)
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+
+    @jax.jit
+    def pipeline(params, u8):
+        x = preprocess.model_input_from_u8(u8)[..., None]
+        logits = unet.apply(params, x, cfg)
+        mask = decode.decode_mask(logits, cfg.num_classes)
+        return jax.vmap(postprocess.postprocess_mask)(mask)
+
+    rng = np.random.default_rng(0)
+    # Blobby inputs so the postprocess CCL does realistic work, not a
+    # best-case empty mask.
+    base = rng.integers(0, 256, size=(batch, 512, 512), dtype=np.uint8)
+    u8 = jnp.asarray(base)
+
+    # warmup / compile
+    jax.block_until_ready(pipeline(params, u8))
+    jax.block_until_ready(pipeline(params, u8))
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipeline(params, u8)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    slices_per_sec = batch * iters / dt
+    baseline = 500.0
+    print(json.dumps({
+        "metric": "512^2 slices/sec/chip (fused UNet+postprocess pipeline)",
+        "value": round(slices_per_sec, 2),
+        "unit": "slices/sec",
+        "vs_baseline": round(slices_per_sec / baseline, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

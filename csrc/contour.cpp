@@ -383,3 +383,139 @@ char* utpu_size_json(const char* filename, int orig_w, int orig_h,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host postprocess: exact reimplementation of src/postprocess.cpp
+// (hole fill -> 3x3 MORPH_OPEN -> component area filter -> remap {0,2})
+// using union-find CC; OpenMP-batched across images.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// 8-connected CC over a predicate grid; returns root label per pixel and
+// fills per-root stats (area, bbox). Roots are flat indices; background = -1.
+struct CCResult {
+  std::vector<int32_t> root;      // per pixel, -1 if not in set
+  std::vector<int32_t> area;      // indexed by root
+  std::vector<int32_t> minx, miny, maxx, maxy;
+};
+
+CCResult cc_with_stats(const std::vector<uint8_t>& in, int h, int w,
+                       bool connect8) {
+  const size_t n = static_cast<size_t>(h) * w;
+  DSU dsu(n);
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      const size_t i = static_cast<size_t>(y) * w + x;
+      if (!in[i]) continue;
+      if (x > 0 && in[i - 1]) dsu.unite(i, i - 1);
+      if (y > 0) {
+        if (in[i - w]) dsu.unite(i, i - w);
+        if (connect8) {
+          if (x > 0 && in[i - w - 1]) dsu.unite(i, i - w - 1);
+          if (x + 1 < w && in[i - w + 1]) dsu.unite(i, i - w + 1);
+        }
+      }
+    }
+  }
+  CCResult r;
+  r.root.assign(n, -1);
+  r.area.assign(n, 0);
+  r.minx.assign(n, w);
+  r.miny.assign(n, h);
+  r.maxx.assign(n, -1);
+  r.maxy.assign(n, -1);
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      const size_t i = static_cast<size_t>(y) * w + x;
+      if (!in[i]) continue;
+      const int32_t root = dsu.find(static_cast<int32_t>(i));
+      r.root[i] = root;
+      r.area[root]++;
+      r.minx[root] = std::min(r.minx[root], x);
+      r.miny[root] = std::min(r.miny[root], y);
+      r.maxx[root] = std::max(r.maxx[root], x);
+      r.maxy[root] = std::max(r.maxy[root], y);
+    }
+  }
+  return r;
+}
+
+void postprocess_one(const uint8_t* mask, int h, int w, uint8_t* out) {
+  const size_t n = static_cast<size_t>(h) * w;
+  // min_area = int(w * h * 0.06f) with C++ float arithmetic
+  // (postprocess.cpp:30,66).
+  const int min_area =
+      static_cast<int>(static_cast<float>(w) * h * 0.06f);
+
+  // 1. hole fill: 8-CC of the inverse of (mask == 2); components whose bbox
+  //    touches no border AND area < min_area become foreground.
+  std::vector<uint8_t> fg(n), inv(n);
+  for (size_t i = 0; i < n; ++i) {
+    fg[i] = mask[i] == 2;
+    inv[i] = !fg[i];
+  }
+  {
+    CCResult cc = cc_with_stats(inv, h, w, /*connect8=*/true);
+    std::vector<uint8_t> is_hole(n, 0);
+    for (size_t i = 0; i < n; ++i) {
+      const int32_t root = cc.root[i];
+      if (root < 0) continue;
+      if (cc.minx[root] > 0 && cc.miny[root] > 0 && cc.maxx[root] < w - 1 &&
+          cc.maxy[root] < h - 1 && cc.area[root] < min_area)
+        fg[i] = 1;
+    }
+  }
+
+  // 2. 3x3 MORPH_OPEN (erode pads with fg, dilate pads with bg — OpenCV
+  //    default border semantics).
+  std::vector<uint8_t> er(n), op(n);
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      uint8_t v = 1;
+      for (int dy = -1; dy <= 1 && v; ++dy)
+        for (int dx = -1; dx <= 1 && v; ++dx) {
+          const int yy = y + dy, xx = x + dx;
+          if (yy < 0 || yy >= h || xx < 0 || xx >= w) continue;  // pad fg
+          v &= fg[static_cast<size_t>(yy) * w + xx];
+        }
+      er[static_cast<size_t>(y) * w + x] = v;
+    }
+  }
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      uint8_t v = 0;
+      for (int dy = -1; dy <= 1 && !v; ++dy)
+        for (int dx = -1; dx <= 1 && !v; ++dx) {
+          const int yy = y + dy, xx = x + dx;
+          if (yy < 0 || yy >= h || xx < 0 || xx >= w) continue;  // pad bg
+          v |= er[static_cast<size_t>(yy) * w + xx];
+        }
+      op[static_cast<size_t>(y) * w + x] = v;
+    }
+  }
+
+  // 3. component area filter + remap {0,2}.
+  CCResult cc = cc_with_stats(op, h, w, /*connect8=*/true);
+  for (size_t i = 0; i < n; ++i) {
+    const int32_t root = cc.root[i];
+    out[i] = (root >= 0 && cc.area[root] >= min_area) ? 2 : 0;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched mask cleanup; masks/out are (n, h, w) uint8.
+void utpu_postprocess_batch(const uint8_t* masks, int n, int h, int w,
+                            uint8_t* out) {
+  const size_t stride = static_cast<size_t>(h) * w;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int k = 0; k < n; ++k)
+    postprocess_one(masks + k * stride, h, w, out + k * stride);
+}
+
+}  // extern "C"

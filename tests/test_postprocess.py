@@ -237,3 +237,43 @@ def test_mask_to_image_lut():
     mask = np.array([[0, 1], [2, 0]], np.uint8)
     got = np.asarray(decode.mask_to_image(mask))
     np.testing.assert_array_equal(got, [[0, 128], [255, 0]])
+
+
+# ---------------------------------------------------------------------------
+# Native (C++) postprocess vs oracle and vs device twin
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", list(range(4)))
+def test_native_postprocess_matches_oracle(seed):
+    from unetseg_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    mask = random_mask(seed)
+    want = oracle_postprocess(mask)
+    got = native.postprocess_batch(mask)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_postprocess_batched_matches_device():
+    from unetseg_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    masks = np.stack([random_mask(s) for s in range(3)])
+    got = native.postprocess_batch(masks)
+    want = np.asarray(postprocess.postprocess_batch(masks))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_postprocess_speckle_noise():
+    """Worst case for CC: pure speckle, thousands of tiny components."""
+    from unetseg_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    mask = (rng.random((128, 128)) > 0.5).astype(np.uint8) * 2
+    np.testing.assert_array_equal(
+        native.postprocess_batch(mask), oracle_postprocess(mask)
+    )

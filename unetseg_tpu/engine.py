@@ -62,11 +62,19 @@ class InferenceEngine:
 
     # -- the fused dense pipeline ------------------------------------------
     def _pipeline(self, params, u8_batch):
-        """(N, 512, 512) uint8 -> cleaned {0,2} uint8 masks, one XLA program."""
+        """(N, S, S) uint8 -> argmax class masks, one XLA program.
+
+        Normalize -> UNet -> argmax decode fuse into a single executable.
+        The mask *cleanup* (hole fill / open / CC filter) runs on the host
+        (io/native.postprocess_batch): it is pointer-chasing work the
+        reference also does host-side, C++ union-find does it in
+        microseconds, and TPU scatters would serialize it — the device twin
+        (ops/postprocess.py) exists and is oracle-verified, but the engine
+        overlaps host cleanup with the next batch's device work instead.
+        """
         x = preprocess.model_input_from_u8(u8_batch)[..., None]
         logits = unet.apply(params, x, self.cfg)
-        mask = decode.decode_mask(logits, self.cfg.num_classes)
-        return jax.vmap(postprocess.postprocess_mask)(mask)
+        return decode.decode_mask(logits, self.cfg.num_classes)
 
     def compile(self, batch_size: int) -> jax.stages.Compiled:
         """AOT compile for a batch size (warm-up + graph capture analog)."""
@@ -234,11 +242,12 @@ def process_single_image(raw_path: str, width: int, height: int,
                 )
             )
 
-        # --- inference + device postprocess (one XLA program) -------------
+        # --- inference (one XLA program) + host mask cleanup ---------------
         t_inf = time.perf_counter()
         mask = np.asarray(eng.infer(u8[None]))[0]
         inference_ms = int((time.perf_counter() - t_inf) * 1000)
         GLOBAL_LOG.write(f"Inference time: {inference_ms} ms")
+        mask = native.postprocess_batch(mask)
 
         # --- mask artifact (LUT vis; src/process.cpp:178-185,234-239) -----
         vis = np.asarray(decode.mask_to_image(mask))
@@ -287,7 +296,7 @@ def process_batch(raw_paths: List[str], width: int, height: int,
     def drain(entry):
         nonlocal n_ok, n_fail
         masks, u8s, metas = entry
-        masks = np.asarray(masks)
+        masks = native.postprocess_batch(np.asarray(masks))
         for k, (path, out_dir) in enumerate(metas):
             try:
                 base = os.path.splitext(os.path.basename(path))[0]

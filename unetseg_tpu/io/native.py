@@ -78,6 +78,11 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_size_t),
         ]
+        lib.utpu_postprocess_batch.restype = None
+        lib.utpu_postprocess_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return _lib
 
@@ -133,6 +138,36 @@ def preprocess_u8(raw: np.ndarray, out_size: int = 512) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out
+
+
+def postprocess_batch(masks: np.ndarray) -> np.ndarray:
+    """Host mask cleanup, exact postprocess.cpp semantics (see ops/postprocess
+    for the device twin).  (N, H, W) or (H, W) uint8 -> same shape {0,2}.
+
+    The reference also runs this stage on the host (OpenCV,
+    src/postprocess.cpp); union-find CC + 3x3 open are microseconds per image
+    in C++, while TPU scatters make the device version ~1000x slower — so the
+    production pipeline decodes on device and cleans up here, overlapping with
+    the next batch's device work.
+    """
+    lib = load()
+    squeeze = masks.ndim == 2
+    m = np.ascontiguousarray(masks[None] if squeeze else masks, dtype=np.uint8)
+    n, h, w = m.shape
+    if lib is None:
+        import jax
+
+        from unetseg_tpu.ops.postprocess import postprocess_mask
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            out = np.asarray(jax.vmap(postprocess_mask)(m))
+    else:
+        out = np.empty_like(m)
+        lib.utpu_postprocess_batch(
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, h, w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+    return out[0] if squeeze else out
 
 
 def contour_json_bytes(
