@@ -1,0 +1,167 @@
+"""Full-study throughput runner (BASELINE config 4: 300-slice CT study).
+
+A three-stage host/device pipeline replacing the reference's serial per-file
+loop (``/root/reference/src/main.cpp:148-164``):
+
+  stage A (host thread pool): mmap RAW slices, assemble batches
+  stage B (device):           fused preprocess + UNet + argmax, async dispatch
+  stage C (host thread pool): C++ mask cleanup, PNG/JSON emission, contours
+
+JAX dispatch is asynchronous, so stage B for batch k+1 overlaps stage C for
+batch k automatically; the loader pool keeps stage A ahead.  This is the
+host/device double-buffering analog of the reference's cudaMemcpyAsync
+streams (src/process.cpp:143-155), with XLA donation reusing device buffers.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unetseg_tpu.config import ModelConfig
+from unetseg_tpu.io import native, raw as raw_io
+from unetseg_tpu.models import unet
+from unetseg_tpu.ops import decode, preprocess
+
+
+@dataclass
+class StudyResult:
+    n_slices: int
+    wall_s: float
+    slices_per_sec: float
+    inference_s: float
+    masks: Optional[np.ndarray] = None
+    per_slice_latency_s: List[float] = field(default_factory=list)
+
+
+def _load_batch(paths: Sequence[str], width: int, height: int) -> np.ndarray:
+    return np.stack(
+        [np.asarray(raw_io.read_raw(p, width, height)) for p in paths]
+    )
+
+
+def run_study(
+    params,
+    cfg: ModelConfig,
+    slice_paths: Sequence[str],
+    width: int,
+    height: int,
+    batch_size: int = 32,
+    emit: Optional[Callable[[int, str, np.ndarray], None]] = None,
+    loader_threads: int = 4,
+    keep_masks: bool = False,
+) -> StudyResult:
+    """Run a whole study (stack of same-sized slices) through the pipeline.
+
+    ``emit(slice_index, path, cleaned_mask)`` is called on a worker thread for
+    each slice (artifact writing); pass None to measure pure pipeline
+    throughput.
+    """
+    size = cfg.image_size
+
+    @jax.jit
+    def device_stage(params, raws):
+        u8, x = preprocess.preprocess_batch(raws, size)
+        logits = unet.apply(params, x, cfg)
+        return u8, decode.decode_mask(logits, cfg.num_classes)
+
+    n = len(slice_paths)
+    batches = [
+        list(range(i, min(i + batch_size, n))) for i in range(0, n, batch_size)
+    ]
+
+    masks_out = np.empty((n, size, size), np.uint8) if keep_masks else None
+    t0 = time.perf_counter()
+    inference_s = 0.0
+
+    with ThreadPoolExecutor(max_workers=loader_threads) as loaders, \
+            ThreadPoolExecutor(max_workers=loader_threads) as emitters:
+        # stage A: prefetch all batch loads (bounded by the pool)
+        loads = [
+            loaders.submit(
+                _load_batch, [slice_paths[k] for k in idxs], width, height
+            )
+            for idxs in batches
+        ]
+
+        pending: List[Tuple[object, object, List[int]]] = []
+        emit_futures = []
+
+        def drain(entry):
+            u8_dev, masks_dev, idxs = entry
+            masks = native.postprocess_batch(np.asarray(masks_dev))
+            for j, k in enumerate(idxs):
+                if keep_masks:
+                    masks_out[k] = masks[j]
+                if emit is not None:
+                    emit_futures.append(
+                        emitters.submit(emit, k, slice_paths[k], masks[j])
+                    )
+
+        for bi, idxs in enumerate(batches):
+            raws = loads[bi].result()
+            if len(idxs) < batch_size:  # pad tail to the compiled shape
+                pad = np.repeat(raws[-1:], batch_size - len(idxs), axis=0)
+                raws = np.concatenate([raws, pad], axis=0)
+            t_inf = time.perf_counter()
+            u8_dev, masks_dev = device_stage(params, jnp.asarray(raws))
+            pending.append((u8_dev, masks_dev, idxs))
+            if len(pending) > 1:  # overlap: drain previous while device runs
+                drain(pending.pop(0))
+            inference_s += time.perf_counter() - t_inf
+        while pending:
+            drain(pending.pop(0))
+        for f in emit_futures:
+            f.result()
+
+    wall = time.perf_counter() - t0
+    return StudyResult(
+        n_slices=n,
+        wall_s=wall,
+        slices_per_sec=n / wall,
+        inference_s=inference_s,
+        masks=masks_out,
+    )
+
+
+def measure_p50_latency(params, cfg: ModelConfig, raw: np.ndarray,
+                        width: int, height: int, iters: int = 20) -> float:
+    """p50 single-slice RAW -> polygons latency (BASELINE metric 3).
+
+    Covers: device preprocess + UNet + decode, host cleanup + contour trace +
+    JSON bytes.  Excludes file I/O (the RAW is preloaded, artifacts are not
+    written) — the reference's timing likewise starts after the REPL parse.
+    """
+    size = cfg.image_size
+
+    @jax.jit
+    def dev(params, raw1):
+        u8, x = preprocess.preprocess_batch(raw1, size)
+        logits = unet.apply(params, x, cfg)
+        return u8, decode.decode_mask(logits, cfg.num_classes)
+
+    raw1 = jnp.asarray(raw[None])
+    # warmup/compile
+    u8, m = dev(params, raw1)
+    np.asarray(m)
+
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        u8, m = dev(params, raw1)
+        mask = native.postprocess_batch(np.asarray(m)[0])
+        vis = np.where(mask == 2, 255, 0).astype(np.uint8)
+        contours = native.extract_contours(vis)
+        if contours:
+            native.contour_json_bytes(
+                contours, "slice", width, height, width / size, height / size
+            )
+        lat.append(time.perf_counter() - t0)
+    return float(np.percentile(lat, 50))
