@@ -38,6 +38,9 @@ class ModelConfig:
     # Rematerialize each conv stage in the backward pass (jax.checkpoint):
     # trades FLOPs for HBM so large-batch 512² training fits.
     remat: bool = False
+    # 3x3 conv implementation: "xla" (portable default, correctness oracle)
+    # or "pallas" (TPU production path, ops/pallas_conv.py).
+    conv_impl: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -75,10 +75,21 @@ def _conv_transpose(x, p, *, stride=2, dtype):
     return y + p["b"].astype(dtype)
 
 
-def _double_conv(x, p, *, dtype):
+def _conv3x3_relu(x, p, *, dtype, impl="xla"):
+    """Fused 3x3 conv + bias + ReLU; impl="pallas" uses the TPU kernel."""
+    if impl == "pallas":
+        from unetseg_tpu.ops.pallas_conv import conv3x3_bias_act
+
+        return conv3x3_bias_act(
+            x.astype(dtype), p["w"].astype(dtype), p["b"].astype(dtype)
+        )
+    return jax.nn.relu(_conv(x, p, dtype=dtype))
+
+
+def _double_conv(x, p, *, dtype, impl="xla"):
     """conv3x3 -> ReLU -> conv3x3 -> ReLU (one UNet stage)."""
-    x = jax.nn.relu(_conv(x, p["conv1"], dtype=dtype))
-    x = jax.nn.relu(_conv(x, p["conv2"], dtype=dtype))
+    x = _conv3x3_relu(x, p["conv1"], dtype=dtype, impl=impl)
+    x = _conv3x3_relu(x, p["conv2"], dtype=dtype, impl=impl)
     return x
 
 
@@ -153,16 +164,17 @@ def apply(params: Params, x: jax.Array, cfg: ModelConfig = ModelConfig()) -> jax
       float32 logits, shape (N, H, W, num_classes).
     """
     dtype = jnp.dtype(cfg.compute_dtype)
+    impl = cfg.conv_impl
     x = x.astype(dtype)
 
     def enc_stage(x, stage):
-        return _double_conv(x, stage, dtype=dtype)
+        return _double_conv(x, stage, dtype=dtype, impl=impl)
 
     def dec_stage(x, skip, stage):
         x = _conv_transpose(x, stage["up"], dtype=dtype)
         x = jnp.concatenate([skip.astype(dtype), x], axis=-1)
-        x = jax.nn.relu(_conv(x, stage["conv1"], dtype=dtype))
-        return jax.nn.relu(_conv(x, stage["conv2"], dtype=dtype))
+        x = _conv3x3_relu(x, stage["conv1"], dtype=dtype, impl=impl)
+        return _conv3x3_relu(x, stage["conv2"], dtype=dtype, impl=impl)
 
     if cfg.remat:  # trade recompute for HBM in the backward pass
         enc_stage = jax.checkpoint(enc_stage)
@@ -174,7 +186,7 @@ def apply(params: Params, x: jax.Array, cfg: ModelConfig = ModelConfig()) -> jax
         skips.append(x)
         x = _max_pool_2x2(x)
 
-    x = _double_conv(x, params["bottleneck"], dtype=dtype)
+    x = _double_conv(x, params["bottleneck"], dtype=dtype, impl=impl)
 
     for stage, skip in zip(params["decoder"], reversed(skips)):
         x = dec_stage(x, skip, stage)

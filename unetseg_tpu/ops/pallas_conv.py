@@ -77,6 +77,76 @@ def _kernel(x_ref, w_ref, b_ref, out_ref, acc, *, TH, W, KC, TD, n_k, relu):
         out_ref[...] = r.astype(out_ref.dtype)
 
 
+def _kernel_small_c(x_ref, w_ref, b_ref, out_ref, acc, *, TH, W, K, TD, relu):
+    """Small-C variant: the 3 dx taps are pre-folded into the contraction dim
+    (K = 3C), so each cell is 3 dy-dots with K >= 128 — Mosaic's Element
+    blocks require the minor dimension to span full lanes, which C = 64
+    alone cannot."""
+    a = jnp.zeros_like(acc)
+    for dy in range(3):
+        xs = x_ref[0, dy:dy + TH, :, :]  # (TH, W, 3C)
+        a += lax.dot_general(
+            xs.reshape(TH * W, K),
+            w_ref[dy],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(TH, W, TD)
+    r = a + b_ref[...].astype(jnp.float32)
+    if relu:
+        r = jnp.maximum(r, 0.0)
+    out_ref[...] = r.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "th", "interpret"))
+def _conv3x3_small_c(x: jax.Array, w: jax.Array, b: jax.Array, *,
+                     relu: bool = True,
+                     th: Optional[int] = None,
+                     interpret: bool = False) -> jax.Array:
+    B, H, W, C = x.shape
+    _, _, _, D = w.shape
+    TH = th or _pick(H, (8, 16, 4, 32, 2))
+    n_h = H // TH
+    K = 3 * C
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # dx-fold: (B, H+2, W, 3C), channel order dx-major to match w.reshape.
+    xcat = jnp.concatenate(
+        [lax.slice(xp, (0, 0, dx, 0), (B, H + 2, dx + W, C)) for dx in range(3)],
+        axis=-1,
+    )
+    wcat = w.reshape(3, 3 * C, D)  # (dy, dx*C, D)
+    b2 = b.reshape(1, D)
+
+    kernel = functools.partial(
+        _kernel_small_c, TH=TH, W=W, K=K, TD=D, relu=relu
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B * n_h,),
+        in_specs=[
+            pl.BlockSpec(
+                (_Element(1), _Element(TH + 2), _Element(W), _Element(K)),
+                lambda i: (i // n_h, (i % n_h) * TH, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((3, K, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, TH, W, D),
+            lambda i: (i // n_h, i % n_h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, D), x.dtype),
+        scratch_shapes=[pltpu.VMEM((TH, W, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(xcat, wcat, b2)
+
+
 @functools.partial(
     jax.jit, static_argnames=("relu", "th", "kc", "td", "interpret")
 )
@@ -93,6 +163,16 @@ def conv3x3_bias_act(x: jax.Array, w: jax.Array, b: jax.Array, *,
     B, H, W, C = x.shape
     kh, kw, C2, D = w.shape
     assert (kh, kw) == (3, 3) and C2 == C, (w.shape, x.shape)
+
+    if C < 128:
+        # Lane-deficient input channels: Mosaic's Element blocks need a
+        # >=128 minor dim and the MXU K/N dims would run half-empty; the
+        # dx-folded variant (_conv3x3_small_c) compiles but measures slower
+        # than XLA's conv here, so small-C layers stay on the XLA path.
+        out = lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + b
+        return jnp.maximum(out, 0) if relu else out
 
     TH = th or _pick(H, (8, 16, 4, 32, 2))
     KC = kc or _pick(C, (128, 256, 64, 512, 32, 16, 8, 4, 2, 1))
