@@ -65,7 +65,7 @@ def main() -> int:
     slices_per_sec = batch * iters / dt
     baseline = 500.0
     print(json.dumps({
-        "metric": "512^2 slices/sec/chip (fused UNet+postprocess pipeline)",
+        "metric": "512^2 slices/sec/chip (fused normalize+UNet+argmax device pipeline)",
         "value": round(slices_per_sec, 2),
         "unit": "slices/sec",
         "vs_baseline": round(slices_per_sec / baseline, 3),

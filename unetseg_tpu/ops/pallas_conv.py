@@ -174,7 +174,7 @@ def conv3x3_bias_act(x: jax.Array, w: jax.Array, b: jax.Array, *,
         ) + b
         return jnp.maximum(out, 0) if relu else out
 
-    TH = th or _pick(H, (8, 16, 4, 32, 2))
+    TH = th or _pick(H, (16, 8, 4, 32, 2))
     KC = kc or _pick(C, (128, 256, 64, 512, 32, 16, 8, 4, 2, 1))
     TD = td or _pick(D, (128, 256, 64, 512, 32, 16, 8, 4, 2, 1))
     n_h, n_k, n_d = H // TH, C // KC, D // TD
