@@ -219,3 +219,71 @@ def test_cli_directory_recursive(tmp_path, capsys):
     assert "Success: 2 files" in captured.out
     assert (out_dir / "a_mask.png").exists()
     assert (out_dir / "sub" / "b_mask.png").exists()  # mirrored structure
+
+
+def test_tta_mode(initialized_engine, tmp_path):
+    w, h = 80, 96
+    raw_path = tmp_path / "t.raw"
+    _make_raw(raw_path, w, h, seed=11)
+    out = tmp_path / "tta_out"
+    assert engine.process_single_image(
+        str(raw_path), w, h, str(out), tta=True
+    )
+    vis = cv2.imread(str(out / "t_mask.png"), cv2.IMREAD_GRAYSCALE)
+    assert vis.shape == (64, 64)
+    assert set(np.unique(vis)).issubset({0, 255})
+
+
+def test_sliding_window_mode(initialized_engine, tmp_path):
+    """--window N keeps native resolution; artifacts come out at (h, w)."""
+    w, h = 96, 128
+    raw_path = tmp_path / "big.raw"
+    _make_raw(raw_path, w, h, seed=12)
+    out = tmp_path / "win_out"
+    assert engine.process_single_image(
+        str(raw_path), w, h, str(out), window=64, overlap=32
+    )
+    vis = cv2.imread(str(out / "big_mask.png"), cv2.IMREAD_GRAYSCALE)
+    assert vis.shape == (h, w)  # native resolution
+    norm = cv2.imread(str(out / "big_normalized.png"), cv2.IMREAD_GRAYSCALE)
+    assert norm.shape == (h, w)
+    sj = (out / "big_original_sizes.json").read_bytes()
+    assert jsonfmt.size_json_bytes("big.raw", w, h, w, h) == sj
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from unetseg_tpu import train
+    from unetseg_tpu.models import unet as unet_mod
+
+    cfg = SMALL
+    tx = train.make_optimizer(lr=1e-3, total_steps=10)
+    state = train.init_state(jax.random.key(0), cfg, tx)
+    rng = np.random.default_rng(0)
+    imgs = rng.random((2, 64, 64, 1)).astype(np.float32)
+    labels = (rng.random((2, 64, 64)) > 0.5).astype(np.int32) * 2
+    state, _ = train.train_step(state, (imgs, labels), cfg, tx)
+
+    path = tmp_path / "train.ckpt"
+    train.save_state(str(path), state, cfg)
+    restored, cfg2 = train.load_state(str(path), tx)
+    assert cfg2 == cfg
+    assert int(restored.step) == 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed training continues identically
+    s1, l1 = train.train_step(state, (imgs, labels), cfg, tx)
+    s2, l2 = train.train_step(restored, (imgs, labels), cfg, tx)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_study_sharding_roundrobin():
+    from unetseg_tpu.parallel import distributed
+
+    paths = [f"s{i}" for i in range(10)]
+    assert distributed.shard_studies(paths) == paths  # single process: all
+    assert not distributed.initialize_distributed()  # no-op single process

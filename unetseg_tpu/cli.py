@@ -26,11 +26,13 @@ def print_usage() -> None:
     print("\nMedical Image Segmentation Tool (TPU)")
     print("Commands:")
     print("  init <engine_cache_path>      - Initialize segmentation engine")
-    print("  process [-r] [--batched] <input> <width> <height> [output_dir] - Process file/directory")
+    print("  process [-r] [--batched] [--tta] [--window N] <input> <width> <height> [output_dir] - Process file/directory")
     print("  exit                          - Cleanup and exit")
     print("\nOptions:")
     print("  -r                            - Recursively process directory")
     print("  --batched                     - Use batched TPU inference for directories")
+    print("  --tta                         - 8-fold flip/rot90 ensemble inference")
+    print("  --window N                    - Native-resolution sliding-window inference")
     print("  <input>                       - Path to image file or directory")
 
 
@@ -102,13 +104,20 @@ def repl(stdin=None) -> int:
                 print("Error: Engine not initialized", file=sys.stderr)
                 continue
             args = parts[1:]
-            recursive = batched = False
-            while args and args[0] in ("-r", "--batched"):
-                if args[0] == "-r":
+            recursive = batched = tta = False
+            window = None
+            while args and args[0] in ("-r", "--batched", "--tta", "--window"):
+                flag = args.pop(0)
+                if flag == "-r":
                     recursive = True
-                else:
+                elif flag == "--batched":
                     batched = True
-                args.pop(0)
+                elif flag == "--tta":
+                    tta = True
+                elif flag == "--window":
+                    if not args:
+                        break
+                    window = int(args.pop(0))
             if len(args) < 3:
                 print("Error: Invalid process command", file=sys.stderr)
                 continue
@@ -129,7 +138,8 @@ def repl(stdin=None) -> int:
                 elif os.path.isfile(input_path):
                     print(f"Processing file: {input_path}")
                     if engine.process_single_image(
-                        input_path, width, height, output_dir
+                        input_path, width, height, output_dir,
+                        tta=tta, window=window,
                     ):
                         print("Processing completed")
                     else:

@@ -91,6 +91,30 @@ class InferenceEngine:
         n = u8_batch.shape[0]
         return self.compile(n)(self.params, jnp.asarray(u8_batch))
 
+    def infer_tta(self, u8_2d: np.ndarray) -> jax.Array:
+        """8-fold dihedral TTA ensemble on one slice (BASELINE config 5)."""
+        key = ("tta", u8_2d.shape)
+        if key not in self._compiled:
+            from unetseg_tpu.parallel import tta
+
+            self._compiled[key] = tta.make_tta_pipeline(
+                self.cfg, device_postprocess=False
+            )
+        return self._compiled[key](self.params, jnp.asarray(u8_2d))
+
+    def infer_tiled(self, u8_2d: np.ndarray, window: int,
+                    overlap: int) -> jax.Array:
+        """Sliding-window inference at native resolution (BASELINE config 3)."""
+        key = ("tiled", u8_2d.shape, window, overlap)
+        if key not in self._compiled:
+            from unetseg_tpu.parallel import tiles
+
+            self._compiled[key] = tiles.make_tiled_pipeline(
+                self.cfg, window=window, overlap=overlap,
+                device_postprocess=False,
+            )
+        return self._compiled[key](self.params, jnp.asarray(u8_2d))
+
 
 # --------------------------------------------------------------------------
 # Global engine state (parity with g_runtime/g_engine, initialize.h:24-25)
@@ -212,7 +236,12 @@ def _polygonize(mask_vis: np.ndarray, output_dir: str, base_name: str,
 
 
 def process_single_image(raw_path: str, width: int, height: int,
-                         output_dir: str) -> bool:
+                         output_dir: str, *, tta: bool = False,
+                         window: Optional[int] = None,
+                         overlap: int = 128) -> bool:
+    """Per-image pipeline.  ``tta`` enables the 8-fold ensemble; ``window``
+    switches to native-resolution sliding-window inference (no 512²
+    downsample) with the given window size."""
     try:
         eng = get_engine()
         if eng is None:
@@ -231,20 +260,33 @@ def process_single_image(raw_path: str, width: int, height: int,
         size_json = os.path.join(output_dir, base_name + "_original_sizes.json")
         mask_png = os.path.join(output_dir, base_name + "_mask.png")
 
-        size = eng.size
         raw = raw_io.read_raw(raw_path, width, height)
-        u8 = native.preprocess_u8(np.asarray(raw), size)
+        if window is not None:
+            # native-resolution mode: min-max quantize without resampling
+            from unetseg_tpu.ops.preprocess import normalize_u8
+
+            u8 = np.asarray(normalize_u8(jnp.asarray(np.asarray(raw))))
+            scaled_w, scaled_h = width, height
+        else:
+            u8 = native.preprocess_u8(np.asarray(raw), eng.size)
+            scaled_w = scaled_h = eng.size
         png.write_png(normalized_png, u8, compression=0)
         with open(size_json, "wb") as f:
             f.write(
                 native.size_json_bytes(
-                    os.path.basename(raw_path), width, height, size, size
+                    os.path.basename(raw_path), width, height,
+                    scaled_w, scaled_h,
                 )
             )
 
         # --- inference (one XLA program) + host mask cleanup ---------------
         t_inf = time.perf_counter()
-        mask = np.asarray(eng.infer(u8[None]))[0]
+        if window is not None:
+            mask = np.asarray(eng.infer_tiled(u8, window, overlap))
+        elif tta:
+            mask = np.asarray(eng.infer_tta(u8))
+        else:
+            mask = np.asarray(eng.infer(u8[None]))[0]
         inference_ms = int((time.perf_counter() - t_inf) * 1000)
         GLOBAL_LOG.write(f"Inference time: {inference_ms} ms")
         mask = native.postprocess_batch(mask)

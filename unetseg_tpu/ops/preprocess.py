@@ -146,6 +146,23 @@ def resize_normalize_u8(raw: jax.Array, out_size: int = OUT_SIZE) -> jax.Array:
     return jnp.floor(q).astype(jnp.uint8)
 
 
+def normalize_u8(raw: jax.Array) -> jax.Array:
+    """Full-resolution min-max quantize (no resample): (..., h, w) u16 -> u8.
+
+    The native-resolution analog of the preprocess for sliding-window mode,
+    where the image is NOT downsampled to 512² (the reference always
+    downsamples, src/preprocess.cpp:81 — this mode is the TPU framework's
+    high-resolution extension, BASELINE config 3).
+    """
+    as_i32 = raw.astype(jnp.int32)
+    mn = jnp.min(as_i32, axis=(-2, -1), keepdims=True)
+    mx = jnp.max(as_i32, axis=(-2, -1), keepdims=True)
+    mx = jnp.where(mx == mn, mn + 1, mx)
+    scale8 = 255.0 / (mx - mn).astype(jnp.float32)
+    q = (raw.astype(jnp.float32) - mn.astype(jnp.float32)) * scale8 + 0.5
+    return jnp.floor(q).astype(jnp.uint8)
+
+
 def model_input_from_u8(u8: jax.Array) -> jax.Array:
     """uint8 -> float32 in [0,1]; the reference's u8 path (process.cpp:36-39)."""
     return u8.astype(jnp.float32) / 255.0

@@ -103,11 +103,14 @@ def sliding_window_logits(params, img_f32: jax.Array, cfg: ModelConfig,
 
 
 def make_tiled_pipeline(cfg: ModelConfig, window: int = 512,
-                        overlap: int = 128, mesh=None):
-    """jitted (params, u8 (H,W)) -> {0,2} mask (H,W) via sliding window.
+                        overlap: int = 128, mesh=None,
+                        device_postprocess=True):
+    """jitted (params, u8 (H,W)) -> mask (H,W) via sliding window.
 
     With a mesh, the window batch is sharded over ``dp`` (tiles ride ICI to
     their chips; the blend is a cheap replicated epilogue).
+    ``device_postprocess=False`` stops at the argmax decode for the engine's
+    host-cleanup split.
     """
 
     def pipeline(params, u8):
@@ -124,6 +127,8 @@ def make_tiled_pipeline(cfg: ModelConfig, window: int = 512,
         logit_tiles = unet.apply(params, tiles, cfg)
         logits = blend_windows(logit_tiles, h, w, window, stride)
         mask = decode.decode_mask(logits, cfg.num_classes)
-        return postprocess.postprocess_mask(mask)
+        if device_postprocess:
+            mask = postprocess.postprocess_mask(mask)
+        return mask
 
     return jax.jit(pipeline)

@@ -49,8 +49,12 @@ def tta_logits(params, img_f32: jax.Array, cfg: ModelConfig) -> jax.Array:
     return jnp.mean(undone, axis=0)
 
 
-def make_tta_pipeline(cfg: ModelConfig, mesh=None):
-    """jitted (params, u8 (H,W)) -> {0,2} mask with 8-fold TTA ensemble."""
+def make_tta_pipeline(cfg: ModelConfig, mesh=None, device_postprocess=True):
+    """jitted (params, u8 (H,W)) -> mask with 8-fold TTA ensemble.
+
+    ``device_postprocess=False`` stops at the argmax decode (the engine then
+    runs the C++ host cleanup, its production split).
+    """
 
     def pipeline(params, u8):
         x = u8.astype(jnp.float32) / 255.0
@@ -67,6 +71,8 @@ def make_tta_pipeline(cfg: ModelConfig, mesh=None):
         )
         mean_logits = jnp.mean(undone, axis=0)
         mask = decode.decode_mask(mean_logits, cfg.num_classes)
-        return postprocess.postprocess_mask(mask)
+        if device_postprocess:
+            mask = postprocess.postprocess_mask(mask)
+        return mask
 
     return jax.jit(pipeline)

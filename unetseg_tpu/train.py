@@ -103,3 +103,50 @@ def make_sharded_train_step(cfg: ModelConfig, mesh: Mesh,
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+# ---------------------------------------------------------------------------
+# Train-state checkpoint / resume (the aux subsystem the reference lacks,
+# SURVEY §5 checkpoint/resume)
+# ---------------------------------------------------------------------------
+
+def save_state(path: str, state: TrainState, cfg: ModelConfig) -> None:
+    """Serialize the full training state (params + optimizer + step)."""
+    import dataclasses
+    import os
+
+    import jax as _jax
+    from flax import serialization
+
+    payload = serialization.msgpack_serialize({
+        "config": dict(dataclasses.asdict(cfg)),
+        "params": _jax.device_get(state.params),
+        "opt_state": _jax.device_get(
+            serialization.to_state_dict(state.opt_state)
+        ),
+        "step": int(state.step),
+    })
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(b"UTPUTRAIN1\n")
+        f.write(payload)
+    os.replace(tmp, path)
+
+
+def load_state(path: str, tx: optax.GradientTransformation
+               ) -> Tuple[TrainState, ModelConfig]:
+    """Restore a training state saved by :func:`save_state`."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        magic = f.read(11)
+        if magic != b"UTPUTRAIN1\n":
+            raise ValueError(f"Not a unetseg_tpu train checkpoint: {path}")
+        data = serialization.msgpack_restore(f.read())
+    cfg = ModelConfig(**data["config"])
+    params = data["params"]
+    # Rebuild the optimizer pytree structure, then refill from the snapshot.
+    opt_state = tx.init(params)
+    opt_state = serialization.from_state_dict(opt_state, data["opt_state"])
+    state = TrainState(params, opt_state, jnp.asarray(data["step"], jnp.int32))
+    return state, cfg
