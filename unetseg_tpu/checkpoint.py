@@ -20,7 +20,7 @@ import numpy as np
 from flax import serialization
 
 from unetseg_tpu.config import ModelConfig
-from unetseg_tpu.models import unet
+from unetseg_tpu.models import registry as model_registry
 
 MAGIC = b"UTPUCKPT1\n"
 
@@ -51,7 +51,7 @@ def load(path: str) -> Tuple[dict, ModelConfig]:
 
 def create(path: str, cfg: ModelConfig = ModelConfig(), seed: int = 0) -> None:
     """Create a fresh randomly-initialized checkpoint (for tests/demo/train)."""
-    params = unet.init(jax.random.key(seed), cfg)
+    params = model_registry.init(jax.random.key(seed), cfg)
     save(path, params, cfg)
 
 

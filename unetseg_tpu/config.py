@@ -41,6 +41,11 @@ class ModelConfig:
     # 3x3 conv implementation: "xla" (portable default, correctness oracle)
     # or "pallas" (TPU production path, ops/pallas_conv.py).
     conv_impl: str = "xla"
+    # Model family: "unet" (the reference contract) or "unetpp" (nested
+    # UNet++, models/unetpp.py).
+    arch: str = "unet"
+    # UNet++ deep supervision (averaged multi-head logits).
+    deep_supervision: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -39,7 +39,7 @@ import numpy as np
 from unetseg_tpu import checkpoint
 from unetseg_tpu.config import ModelConfig
 from unetseg_tpu.io import native, png, raw as raw_io
-from unetseg_tpu.models import unet
+from unetseg_tpu.models import registry as model_registry
 from unetseg_tpu.ops import decode, postprocess, preprocess
 from unetseg_tpu.utils.logger import GLOBAL_LOG, derive_log_dir
 
@@ -73,7 +73,7 @@ class InferenceEngine:
         overlaps host cleanup with the next batch's device work instead.
         """
         x = preprocess.model_input_from_u8(u8_batch)[..., None]
-        logits = unet.apply(params, x, self.cfg)
+        logits = model_registry.apply(params, x, self.cfg)
         return decode.decode_mask(logits, self.cfg.num_classes)
 
     def compile(self, batch_size: int) -> jax.stages.Compiled:

@@ -1,0 +1,48 @@
+"""Model-family registry.
+
+The reference hard-codes one opaque engine; the framework dispatches on
+``ModelConfig.arch`` so checkpoints are self-describing and every pipeline
+(engine, batch/tiles/TTA, training) works with any registered family.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+
+from unetseg_tpu.config import ModelConfig
+
+_REGISTRY: Dict[str, Tuple[Callable, Callable]] = {}
+
+
+def register(name: str, init_fn: Callable, apply_fn: Callable) -> None:
+    _REGISTRY[name] = (init_fn, apply_fn)
+
+
+def _ensure_builtin() -> None:
+    if "unet" not in _REGISTRY:
+        from unetseg_tpu.models import unet
+
+        register("unet", unet.init, unet.apply)
+    if "unetpp" not in _REGISTRY:
+        from unetseg_tpu.models import unetpp
+
+        register("unetpp", unetpp.init, unetpp.apply)
+
+
+def get(name: str) -> Tuple[Callable, Callable]:
+    _ensure_builtin()
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"Unknown model arch '{name}'; registered: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name]
+
+
+def init(rng: jax.Array, cfg: ModelConfig):
+    return get(cfg.arch)[0](rng, cfg)
+
+
+def apply(params, x: jax.Array, cfg: ModelConfig) -> jax.Array:
+    return get(cfg.arch)[1](params, x, cfg)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from unetseg_tpu.config import ModelConfig
-from unetseg_tpu.models import unet
+from unetseg_tpu.models import registry as model_registry
 from unetseg_tpu.ops import decode, postprocess, preprocess
 
 
@@ -31,7 +31,7 @@ def make_sharded_pipeline(cfg: ModelConfig, mesh: Mesh, spatial: bool = False):
         x = jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, P(*in_spec, None) if spatial else P("dp"))
         )
-        logits = unet.apply(params, x, cfg)
+        logits = model_registry.apply(params, x, cfg)
         mask = decode.decode_mask(logits, cfg.num_classes)
         return jax.vmap(postprocess.postprocess_mask)(mask)
 
@@ -46,7 +46,7 @@ def make_sharded_forward(cfg: ModelConfig, mesh: Mesh):
     """Sharded logits-only forward (for TTA/tiling composition)."""
 
     def fwd(params, x):
-        return unet.apply(params, x, cfg)
+        return model_registry.apply(params, x, cfg)
 
     return jax.jit(
         fwd,

@@ -27,7 +27,7 @@ import numpy as np
 
 from unetseg_tpu.config import ModelConfig
 from unetseg_tpu.io import native, raw as raw_io
-from unetseg_tpu.models import unet
+from unetseg_tpu.models import registry as model_registry
 from unetseg_tpu.ops import decode, preprocess
 
 
@@ -69,7 +69,7 @@ def run_study(
     @jax.jit
     def device_stage(params, raws):
         u8, x = preprocess.preprocess_batch(raws, size)
-        logits = unet.apply(params, x, cfg)
+        logits = model_registry.apply(params, x, cfg)
         return u8, decode.decode_mask(logits, cfg.num_classes)
 
     n = len(slice_paths)
@@ -144,7 +144,7 @@ def measure_p50_latency(params, cfg: ModelConfig, raw: np.ndarray,
     @jax.jit
     def dev(params, raw1):
         u8, x = preprocess.preprocess_batch(raw1, size)
-        logits = unet.apply(params, x, cfg)
+        logits = model_registry.apply(params, x, cfg)
         return u8, decode.decode_mask(logits, cfg.num_classes)
 
     raw1 = jnp.asarray(raw[None])

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from unetseg_tpu.config import ModelConfig
-from unetseg_tpu.models import unet
+from unetseg_tpu.models import registry as model_registry
 from unetseg_tpu.ops import decode, postprocess
 
 
@@ -98,7 +98,7 @@ def sliding_window_logits(params, img_f32: jax.Array, cfg: ModelConfig,
     h, w = img_f32.shape
     stride = window - overlap
     tiles = extract_windows(img_f32, window, stride)[..., None]
-    logit_tiles = unet.apply(params, tiles, cfg)
+    logit_tiles = model_registry.apply(params, tiles, cfg)
     return blend_windows(logit_tiles, h, w, window, stride)
 
 
@@ -124,7 +124,7 @@ def make_tiled_pipeline(cfg: ModelConfig, window: int = 512,
             tiles = jax.lax.with_sharding_constraint(
                 tiles, NamedSharding(mesh, P("dp"))
             )
-        logit_tiles = unet.apply(params, tiles, cfg)
+        logit_tiles = model_registry.apply(params, tiles, cfg)
         logits = blend_windows(logit_tiles, h, w, window, stride)
         mask = decode.decode_mask(logits, cfg.num_classes)
         if device_postprocess:

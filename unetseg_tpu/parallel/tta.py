@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from unetseg_tpu.config import ModelConfig
-from unetseg_tpu.models import unet
+from unetseg_tpu.models import registry as model_registry
 from unetseg_tpu.ops import decode, postprocess
 
 N_TRANSFORMS = 8
@@ -42,7 +42,7 @@ def dihedral_inverse(img: jax.Array, k: int) -> jax.Array:
 def tta_logits(params, img_f32: jax.Array, cfg: ModelConfig) -> jax.Array:
     """(H, W) float in [0,1] -> (H, W, C) ensemble-mean logits."""
     batch = jnp.stack([dihedral(img_f32, k) for k in range(N_TRANSFORMS)])
-    logits = unet.apply(params, batch[..., None], cfg)
+    logits = model_registry.apply(params, batch[..., None], cfg)
     undone = jnp.stack(
         [dihedral_inverse(logits[k], k) for k in range(N_TRANSFORMS)]
     )
@@ -65,7 +65,7 @@ def make_tta_pipeline(cfg: ModelConfig, mesh=None, device_postprocess=True):
             batch = jax.lax.with_sharding_constraint(
                 batch, NamedSharding(mesh, P("dp"))
             )
-        logits = unet.apply(params, batch, cfg)
+        logits = model_registry.apply(params, batch, cfg)
         undone = jnp.stack(
             [dihedral_inverse(logits[k], k) for k in range(N_TRANSFORMS)]
         )

@@ -25,7 +25,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from unetseg_tpu.config import ModelConfig
-from unetseg_tpu.models import unet
+from unetseg_tpu.models import registry as model_registry
 
 
 class TrainState(NamedTuple):
@@ -61,7 +61,7 @@ def soft_dice_loss(logits: jax.Array, labels: jax.Array,
 def segmentation_loss(params, batch: Tuple[jax.Array, jax.Array],
                       cfg: ModelConfig) -> jax.Array:
     imgs, labels = batch
-    logits = unet.apply(params, imgs, cfg)
+    logits = model_registry.apply(params, imgs, cfg)
     ce = jnp.mean(
         optax.softmax_cross_entropy_with_integer_labels(logits, labels)
     )
@@ -81,7 +81,7 @@ def train_step(state: TrainState, batch, cfg: ModelConfig,
 
 def init_state(rng: jax.Array, cfg: ModelConfig,
                tx: optax.GradientTransformation) -> TrainState:
-    params = unet.init(rng, cfg)
+    params = model_registry.init(rng, cfg)
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
 
