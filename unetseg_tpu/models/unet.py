@@ -76,12 +76,23 @@ def _conv_transpose(x, p, *, stride=2, dtype):
 
 
 def _conv3x3_relu(x, p, *, dtype, impl="xla"):
-    """Fused 3x3 conv + bias + ReLU; impl="pallas" uses the TPU kernel."""
+    """Fused 3x3 conv + bias + ReLU.
+
+    impl: "xla" (portable default), "pallas" (VMEM-accumulator kernel), or
+    "winograd" (F(2x2,3x3), 2.25x MAC reduction — the production TPU path,
+    see ops/winograd.py and docs/PERFORMANCE.md).
+    """
     if impl == "pallas":
         from unetseg_tpu.ops.pallas_conv import conv3x3_bias_act
 
         return conv3x3_bias_act(
             x.astype(dtype), p["w"].astype(dtype), p["b"].astype(dtype)
+        )
+    if impl == "winograd":
+        from unetseg_tpu.ops.winograd import conv3x3_winograd
+
+        return conv3x3_winograd(
+            x.astype(dtype), p["w"], p["b"], gemm_dtype=dtype
         )
     return jax.nn.relu(_conv(x, p, dtype=dtype))
 
