@@ -141,8 +141,12 @@ def _pick(total, candidates):
 
 def _wino_kernel(p_ref, u_ref, b_ref, out_ref, acc, *, TR, W2, KC, TD, n_k,
                  relu):
-    """One cell: accumulate all 16 Winograd points for one (row-band,
-    out-tile, in-channel step)."""
+    """One cell: one (row-band, out-tile, in-channel step).
+
+    The inverse transform distributes over the channel-chunk sum, so the
+    accumulator holds the four OUTPUT points Y[u,v] (not the 16 Winograd
+    points) — 4x less VMEM, which buys 4x larger row tiles and MXU-sized
+    dots (M = TR*W2 ~ 1024)."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -151,6 +155,7 @@ def _wino_kernel(p_ref, u_ref, b_ref, out_ref, acc, *, TR, W2, KC, TD, n_k,
 
     for pt in range(16):
         xi, yi = divmod(pt, 4)
+        # V_pt = sum_ab BT[xi,a] BT[yi,b] P[a,b] — 4 nonzero terms, +-1 coefs.
         v = None
         for a in range(4):
             ca = float(_BT[xi, a])
@@ -160,36 +165,34 @@ def _wino_kernel(p_ref, u_ref, b_ref, out_ref, acc, *, TR, W2, KC, TD, n_k,
                 cb = float(_BT[yi, bb])
                 if cb == 0.0:
                     continue
-                term = p_ref[4 * a + bb, 0].astype(jnp.float32) * (ca * cb)
-                v = term if v is None else v + term
+                t = p_ref[4 * a + bb, 0]
+                t = t if ca * cb > 0 else -t
+                v = t if v is None else v + t
         m = jax.lax.dot_general(
-            v.astype(p_ref.dtype).reshape(TR * W2, KC),
+            v.reshape(TR * W2, KC),
             u_ref[pt],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(TR, W2, TD)
-        acc[pt] += m
+        # Scatter into the 4 output points: Y[u,v] += AT[u,xi] AT[v,yi] m.
+        for u in range(2):
+            cu = float(_AT[u, xi])
+            if cu == 0.0:
+                continue
+            for vv in range(2):
+                cv = float(_AT[vv, yi])
+                if cv == 0.0:
+                    continue
+                acc[2 * u + vv] += m if cu * cv > 0 else -m
 
     @pl.when(k == n_k - 1)
     def _():
         bias = b_ref[0].astype(jnp.float32)
-        for u in range(2):
-            for vv in range(2):
-                y = None
-                for xi in range(4):
-                    cu = float(_AT[u, xi])
-                    if cu == 0.0:
-                        continue
-                    for yi in range(4):
-                        cv = float(_AT[vv, yi])
-                        if cv == 0.0:
-                            continue
-                        term = acc[4 * xi + yi] * (cu * cv)
-                        y = term if y is None else y + term
-                y = y + bias
-                if relu:
-                    y = jnp.maximum(y, 0.0)
-                out_ref[2 * u + vv] = y.astype(out_ref.dtype)
+        for uv in range(4):
+            y = acc[uv] + bias
+            if relu:
+                y = jnp.maximum(y, 0.0)
+            out_ref[uv] = y.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -221,9 +224,21 @@ def conv3x3_winograd_pallas(x: jax.Array, w: jax.Array, b: jax.Array, *,
     U = transform_weights(w).astype(dtype).reshape(16, C, D)
     b2 = b.reshape(1, D)
 
-    TR = tr or _pick(H2, (2, 4, 1))
     KC = kc or _pick(C, (128, 256, 64, 512, 32, 16, 8, 4, 2, 1))
     TD = td or _pick(D, (128, 256, 64, 512, 32, 16, 8, 4, 2, 1))
+    if tr:
+        TR = tr
+    else:
+        # Budget VMEM: P block 16*TR*W2*KC*2B and acc 4*TR*W2*TD*4B under
+        # ~4 MiB each; prefer M = TR*W2 >= 1024 for the MXU.
+        TR = 1
+        while (
+            TR * 2 <= H2
+            and H2 % (TR * 2) == 0
+            and 16 * (TR * 2) * W2 * KC * 2 <= 4 * 1024 * 1024
+            and 4 * (TR * 2) * W2 * TD * 4 <= 4 * 1024 * 1024
+        ):
+            TR *= 2
     n_h, n_k = H2 // TR, C // KC
 
     kernel = functools.partial(
@@ -251,7 +266,7 @@ def conv3x3_winograd_pallas(x: jax.Array, w: jax.Array, b: jax.Array, *,
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, 4, H2, W2, D), dtype),
-        scratch_shapes=[pltpu.VMEM((16, TR, W2, TD), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((4, TR, W2, TD), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
