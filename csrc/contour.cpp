@@ -394,6 +394,11 @@ namespace {
 
 // 8-connected CC over a predicate grid; returns root label per pixel and
 // fills per-root stats (area, bbox). Roots are flat indices; background = -1.
+//
+// The union convention keeps the minimum flat index as root, so after the
+// union pass a single ascending sweep fully resolves every pixel
+// (parent[i] <= i, and parent[i] was already resolved when we reach i) —
+// no per-pixel find() loops on the hot path.
 struct CCResult {
   std::vector<int32_t> root;      // per pixel, -1 if not in set
   std::vector<int32_t> area;      // indexed by root
@@ -405,8 +410,9 @@ CCResult cc_with_stats(const std::vector<uint8_t>& in, int h, int w,
   const size_t n = static_cast<size_t>(h) * w;
   DSU dsu(n);
   for (int y = 0; y < h; ++y) {
+    const size_t row = static_cast<size_t>(y) * w;
     for (int x = 0; x < w; ++x) {
-      const size_t i = static_cast<size_t>(y) * w + x;
+      const size_t i = row + x;
       if (!in[i]) continue;
       if (x > 0 && in[i - 1]) dsu.unite(i, i - 1);
       if (y > 0) {
@@ -418,6 +424,11 @@ CCResult cc_with_stats(const std::vector<uint8_t>& in, int h, int w,
       }
     }
   }
+  // Ascending resolve: parent chains point strictly downward.
+  std::vector<int32_t>& p = dsu.parent;
+  for (size_t i = 0; i < n; ++i) p[i] = p[p[i]] == p[i] ? p[i] : p[p[i]];
+  for (size_t i = 0; i < n; ++i) p[i] = p[p[i]];  // chains are length <= 2 now
+
   CCResult r;
   r.root.assign(n, -1);
   r.area.assign(n, 0);
@@ -426,16 +437,17 @@ CCResult cc_with_stats(const std::vector<uint8_t>& in, int h, int w,
   r.maxx.assign(n, -1);
   r.maxy.assign(n, -1);
   for (int y = 0; y < h; ++y) {
+    const size_t row = static_cast<size_t>(y) * w;
     for (int x = 0; x < w; ++x) {
-      const size_t i = static_cast<size_t>(y) * w + x;
+      const size_t i = row + x;
       if (!in[i]) continue;
-      const int32_t root = dsu.find(static_cast<int32_t>(i));
+      const int32_t root = p[i];
       r.root[i] = root;
       r.area[root]++;
-      r.minx[root] = std::min(r.minx[root], x);
-      r.miny[root] = std::min(r.miny[root], y);
-      r.maxx[root] = std::max(r.maxx[root], x);
-      r.maxy[root] = std::max(r.maxy[root], y);
+      if (x < r.minx[root]) r.minx[root] = x;
+      if (y < r.miny[root]) r.miny[root] = y;
+      if (x > r.maxx[root]) r.maxx[root] = x;
+      if (y > r.maxy[root]) r.maxy[root] = y;
     }
   }
   return r;
@@ -450,10 +462,10 @@ void postprocess_one(const uint8_t* mask, int h, int w, uint8_t* out) {
 
   // 1. hole fill: 8-CC of the inverse of (mask == 2); components whose bbox
   //    touches no border AND area < min_area become foreground.
-  std::vector<uint8_t> fg(n), inv(n);
+  std::vector<uint8_t> fg_v(n), inv(n);
   for (size_t i = 0; i < n; ++i) {
-    fg[i] = mask[i] == 2;
-    inv[i] = !fg[i];
+    fg_v[i] = mask[i] == 2;
+    inv[i] = !fg_v[i];
   }
   {
     CCResult cc = cc_with_stats(inv, h, w, /*connect8=*/true);
@@ -463,35 +475,54 @@ void postprocess_one(const uint8_t* mask, int h, int w, uint8_t* out) {
       if (root < 0) continue;
       if (cc.minx[root] > 0 && cc.miny[root] > 0 && cc.maxx[root] < w - 1 &&
           cc.maxy[root] < h - 1 && cc.area[root] < min_area)
-        fg[i] = 1;
+        fg_v[i] = 1;
     }
   }
 
-  // 2. 3x3 MORPH_OPEN (erode pads with fg, dilate pads with bg — OpenCV
-  //    default border semantics).
-  std::vector<uint8_t> er(n), op(n);
+  // 2. 3x3 MORPH_OPEN, separable (3x1 then 1x3): erode pads with fg,
+  //    dilate pads with bg — OpenCV default border semantics.
+  std::vector<uint8_t> tmp(n), er(n), op(n);
+  auto row_of = [&](std::vector<uint8_t>& v, int y) {
+    return v.data() + static_cast<size_t>(y) * w;
+  };
+  // vertical erode
   for (int y = 0; y < h; ++y) {
+    const uint8_t* up = y > 0 ? row_of(fg_v, y - 1) : nullptr;
+    const uint8_t* mid = row_of(fg_v, y);
+    const uint8_t* dn = y + 1 < h ? row_of(fg_v, y + 1) : nullptr;
+    uint8_t* out_row = row_of(tmp, y);
+    for (int x = 0; x < w; ++x)
+      out_row[x] = mid[x] & (up ? up[x] : 1) & (dn ? dn[x] : 1);
+  }
+  // horizontal erode
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* r = row_of(tmp, y);
+    uint8_t* o = row_of(er, y);
     for (int x = 0; x < w; ++x) {
-      uint8_t v = 1;
-      for (int dy = -1; dy <= 1 && v; ++dy)
-        for (int dx = -1; dx <= 1 && v; ++dx) {
-          const int yy = y + dy, xx = x + dx;
-          if (yy < 0 || yy >= h || xx < 0 || xx >= w) continue;  // pad fg
-          v &= fg[static_cast<size_t>(yy) * w + xx];
-        }
-      er[static_cast<size_t>(y) * w + x] = v;
+      uint8_t v = r[x];
+      if (x > 0) v &= r[x - 1];
+      if (x + 1 < w) v &= r[x + 1];
+      o[x] = v;
     }
   }
+  // vertical dilate
   for (int y = 0; y < h; ++y) {
+    const uint8_t* up = y > 0 ? row_of(er, y - 1) : nullptr;
+    const uint8_t* mid = row_of(er, y);
+    const uint8_t* dn = y + 1 < h ? row_of(er, y + 1) : nullptr;
+    uint8_t* out_row = row_of(tmp, y);
+    for (int x = 0; x < w; ++x)
+      out_row[x] = mid[x] | (up ? up[x] : 0) | (dn ? dn[x] : 0);
+  }
+  // horizontal dilate
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* r = row_of(tmp, y);
+    uint8_t* o = row_of(op, y);
     for (int x = 0; x < w; ++x) {
-      uint8_t v = 0;
-      for (int dy = -1; dy <= 1 && !v; ++dy)
-        for (int dx = -1; dx <= 1 && !v; ++dx) {
-          const int yy = y + dy, xx = x + dx;
-          if (yy < 0 || yy >= h || xx < 0 || xx >= w) continue;  // pad bg
-          v |= er[static_cast<size_t>(yy) * w + xx];
-        }
-      op[static_cast<size_t>(y) * w + x] = v;
+      uint8_t v = r[x];
+      if (x > 0) v |= r[x - 1];
+      if (x + 1 < w) v |= r[x + 1];
+      o[x] = v;
     }
   }
 
