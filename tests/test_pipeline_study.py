@@ -54,3 +54,21 @@ def test_p50_latency_smoke():
     raw = rng.integers(0, 65536, size=(80, 96), dtype=np.uint16)
     p50 = pipeline.measure_p50_latency(params, SMALL, raw, 96, 80, iters=3)
     assert p50 > 0
+
+
+def test_stage_timer_and_trace():
+    from unetseg_tpu.utils.profiling import StageTimer, device_trace
+
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    s = t.summary()
+    assert s["a"]["calls"] == 2 and s["b"]["calls"] == 1
+    with device_trace(None):  # no-op path
+        pass
+    t.reset()
+    assert t.summary() == {}

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import os
 import time
-import traceback
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -40,7 +39,7 @@ from unetseg_tpu import checkpoint
 from unetseg_tpu.config import ModelConfig
 from unetseg_tpu.io import native, png, raw as raw_io
 from unetseg_tpu.models import registry as model_registry
-from unetseg_tpu.ops import decode, postprocess, preprocess
+from unetseg_tpu.ops import decode, preprocess
 from unetseg_tpu.utils.logger import GLOBAL_LOG, derive_log_dir
 
 TARGET = 512
