@@ -1,0 +1,72 @@
+"""Synthetic medical-like data generation.
+
+The reference repo contains no data or training pipeline; for framework
+validation and the training demo we synthesize CT-like 16-bit slices:
+a noisy background with a bright soft-edged ellipse "organ" (class 2 target)
+and optional dim distractor blobs (class 1 regions), mirroring the
+reference's class semantics (0/1 = background variants, 2 = foreground —
+src/postprocess.cpp:5-7).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def synth_slice(rng: np.random.Generator, size: int = 512,
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (raw uint16 (size,size), labels uint8 (size,size) in {0,1,2})."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float64)
+
+    # main organ: random ellipse, bright
+    cy, cx = rng.uniform(0.3, 0.7, 2) * size
+    ry, rx = rng.uniform(0.12, 0.3, 2) * size
+    theta = rng.uniform(0, np.pi)
+    ct, st = np.cos(theta), np.sin(theta)
+    u = ((xx - cx) * ct + (yy - cy) * st) / rx
+    v = (-(xx - cx) * st + (yy - cy) * ct) / ry
+    organ = (u * u + v * v) <= 1.0
+
+    # distractor: dimmer blob (class-1 region)
+    dcy, dcx = rng.uniform(0.1, 0.9, 2) * size
+    dr = rng.uniform(0.04, 0.08) * size
+    distract = ((xx - dcx) ** 2 + (yy - dcy) ** 2) <= dr * dr
+
+    img = rng.normal(12000, 1500, (size, size))
+    img += organ * rng.uniform(18000, 26000)
+    img += distract * rng.uniform(6000, 9000)
+    img = np.clip(img, 0, 65535).astype(np.uint16)
+
+    labels = np.zeros((size, size), np.uint8)
+    labels[distract] = 1
+    labels[organ] = 2
+    return img, labels
+
+
+def synth_batch(rng: np.random.Generator, n: int, size: int = 512):
+    """(raws (n,s,s) u16, labels (n,s,s) u8)."""
+    raws = np.empty((n, size, size), np.uint16)
+    labels = np.empty((n, size, size), np.uint8)
+    for i in range(n):
+        raws[i], labels[i] = synth_slice(rng, size)
+    return raws, labels
+
+
+def training_batch(rng: np.random.Generator, n: int, size: int = 512):
+    """Model-ready (imgs (n,s,s,1) f32 in [0,1], labels (n,s,s) i32).
+
+    Applies the same per-slice min-max + u8 quantize + /255 normalization the
+    inference pipeline uses, so train and serve distributions match.
+    """
+    from unetseg_tpu.ops.preprocess import preprocess_oracle_u8
+
+    imgs = np.empty((n, size, size, 1), np.float32)
+    labels = np.empty((n, size, size), np.int32)
+    for i in range(n):
+        raw, lab = synth_slice(rng, size)
+        u8 = preprocess_oracle_u8(raw, size)  # same-size: pure quantize
+        imgs[i, ..., 0] = u8.astype(np.float32) / 255.0
+        labels[i] = lab
+    return imgs, labels
