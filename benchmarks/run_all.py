@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Run all five BASELINE benchmark configs and emit a JSON report.
+
+Configs (BASELINE.md / BASELINE.json):
+  1. single 512² slice -> polygon JSON (p50 latency)
+  2. batch-32 512² slices, multi-class, per-class contour extraction
+  3. 1024² tiles via sliding-window with overlap blending
+  4. full 300-slice CT study end-to-end throughput
+  5. TTA (flips/rot90) ensemble — single-chip here; the 8-way mesh variant is
+     validated on the virtual CPU mesh in tests/test_parallel.py
+
+Usage: python benchmarks/run_all.py [--slices N] [--out results.json]
+Runs on whatever backend JAX selects (the TPU chip under the driver).
+Synchronization fetches output elements (block_until_ready is unreliable on
+tunneled backends).
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slices", type=int, default=300)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from unetseg_tpu import train  # noqa: F401  (ensures module imports clean)
+    from unetseg_tpu.config import ModelConfig
+    from unetseg_tpu.data import synth_batch, synth_slice
+    from unetseg_tpu.io import native, raw as raw_io
+    from unetseg_tpu.models import unet
+    from unetseg_tpu.ops import decode, preprocess
+    from unetseg_tpu.parallel import pipeline as ppl
+    from unetseg_tpu.parallel import tiles, tta
+
+    cfg = ModelConfig()
+    params = unet.init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    report = {"device": str(jax.devices()[0])}
+
+    def sync(x):
+        return float(np.asarray(x).ravel()[0])
+
+    def sync1(x):
+        return float(x[(0,) * x.ndim])
+
+    # ---- config 1: single slice -> polygon JSON p50 latency --------------
+    raw, _ = synth_slice(rng, 512)
+    p50 = ppl.measure_p50_latency(params, cfg, raw, 512, 512, iters=15)
+    report["c1_p50_slice_to_json_ms"] = round(p50 * 1000, 2)
+
+    # ---- config 2: batch-32, per-class contours --------------------------
+    raws, _ = synth_batch(rng, 32, 512)
+
+    @jax.jit
+    def dev(params, raws):
+        u8, x = preprocess.preprocess_batch(raws, 512)
+        return decode.decode_mask(unet.apply(params, x, cfg), 3)
+
+    m = dev(params, jnp.asarray(raws))
+    sync1(m)
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        m = dev(params, jnp.asarray(raws))
+    sync1(m)
+    dt = (time.perf_counter() - t0) / iters
+    masks = native.postprocess_batch(np.asarray(m))
+    t1 = time.perf_counter()
+    n_contours = sum(
+        len(cs)
+        for k in range(32)
+        for cs in native.contours_per_class(masks[k]).values()
+    )
+    contour_ms = (time.perf_counter() - t1) / 32 * 1000
+    report["c2_batch32_device_slices_per_sec"] = round(32 / dt, 1)
+    report["c2_per_class_contour_ms_per_slice_host"] = round(contour_ms, 2)
+    report["c2_total_contours"] = n_contours
+
+    # ---- config 3: 1024² sliding window ----------------------------------
+    big = np.zeros((1024, 1024), np.uint16)
+    s0, _ = synth_slice(rng, 512)
+    big[:512, :512] = s0
+    big[512:, 512:] = synth_slice(rng, 512)[0]
+    fn = tiles.make_tiled_pipeline(cfg, window=512, overlap=128,
+                                  device_postprocess=False)
+    u8big = jnp.asarray((big >> 8).astype(np.uint8))
+    out = fn(params, u8big)
+    sync1(out)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = fn(params, u8big)
+    sync1(out)
+    dt = (time.perf_counter() - t0) / 5
+    report["c3_1024_tile_sliding_window_ms"] = round(dt * 1000, 1)
+    report["c3_equivalent_512_slices_per_sec"] = round(4 / dt, 1)
+
+    # ---- config 4: full study throughput ---------------------------------
+    n = args.slices
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        raws_np, _ = synth_batch(rng, min(n, 32), 512)
+        for i in range(n):
+            p = f"{td}/s{i:04d}.raw"
+            raw_io.write_raw(p, raws_np[i % raws_np.shape[0]])
+            paths.append(p)
+        res = ppl.run_study(params, cfg, paths, 512, 512, batch_size=32)
+    report["c4_study_slices"] = n
+    report["c4_study_slices_per_sec_e2e"] = round(res.slices_per_sec, 1)
+    report["c4_study_wall_s"] = round(res.wall_s, 2)
+
+    # ---- config 5: TTA ensemble (single chip) ----------------------------
+    u8 = jnp.asarray((synth_slice(rng, 512)[0] >> 8).astype(np.uint8))
+    fn = tta.make_tta_pipeline(cfg, device_postprocess=False)
+    out = fn(params, u8)
+    sync1(out)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = fn(params, u8)
+    sync1(out)
+    dt = (time.perf_counter() - t0) / 5
+    report["c5_tta8_ensemble_ms_per_slice"] = round(dt * 1000, 1)
+
+    line = json.dumps(report, sort_keys=True)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -126,3 +126,14 @@ def test_native_preprocess_bit_exact():
     np.testing.assert_array_equal(
         native.preprocess_u8(raw), preprocess_oracle_u8(raw)
     )
+
+
+def test_contours_per_class():
+    m = np.zeros((32, 32), np.uint8)
+    cv2.circle(m, (8, 8), 5, 1, -1)
+    cv2.circle(m, (22, 22), 6, 2, -1)
+    per = native.contours_per_class(m)
+    assert set(per) == {1, 2}
+    for c in (1, 2):
+        want = cv2_contours(np.where(m == c, 255, 0).astype(np.uint8))
+        assert per[c] == want

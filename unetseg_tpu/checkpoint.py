@@ -16,7 +16,6 @@ import os
 from typing import Tuple
 
 import jax
-import numpy as np
 from flax import serialization
 
 from unetseg_tpu.config import ModelConfig

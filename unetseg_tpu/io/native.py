@@ -224,3 +224,16 @@ def size_json_bytes(filename: str, orig_w: int, orig_h: int,
         return ctypes.string_at(ptr, out_len.value)
     finally:
         lib.utpu_free(ptr)
+
+
+def contours_per_class(mask: np.ndarray, classes=(1, 2)):
+    """Per-class EXTERNAL/SIMPLE contours (BASELINE config 2 extension).
+
+    The reference only polygonizes foreground==2; multi-class studies want
+    one contour set per class label.  Returns {class: contours}.
+    """
+    out = {}
+    for c in classes:
+        binary = np.where(mask == c, np.uint8(255), np.uint8(0))
+        out[c] = extract_contours(binary)
+    return out

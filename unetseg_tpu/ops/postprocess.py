@@ -18,8 +18,6 @@ representation of 0.06.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

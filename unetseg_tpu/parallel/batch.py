@@ -10,7 +10,6 @@ all), and each chip runs batch/n_dp slices.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from unetseg_tpu.config import ModelConfig

@@ -15,7 +15,6 @@ streams (src/process.cpp:143-155), with XLA donation reusing device buffers.
 
 from __future__ import annotations
 
-import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field

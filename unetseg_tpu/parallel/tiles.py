@@ -20,7 +20,7 @@ the (static) image shape, so XLA sees a fixed gather/scatter pattern.
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
