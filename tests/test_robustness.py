@@ -1,0 +1,130 @@
+"""Failure isolation, concurrency, and input-validation behavior.
+
+SURVEY §5: the reference's fault handling is per-image isolation (directory
+batches continue past failures) and it harbors a latent host-staging race
+its thread_local contexts don't fix (src/process.cpp:138,152).  Our pipeline
+is functional end-to-end; these tests pin the isolation semantics and
+demonstrate thread-safety the reference lacks.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from unetseg_tpu import checkpoint, engine
+from unetseg_tpu.config import ModelConfig
+from unetseg_tpu.io import raw as raw_io
+
+SMALL = ModelConfig(base_channels=8, depth=2, image_size=64,
+                    compute_dtype="float32")
+
+
+@pytest.fixture()
+def eng(tmp_path):
+    cache = tmp_path / "e" / "m.ckpt"
+    cache.parent.mkdir()
+    checkpoint.create(str(cache), SMALL, seed=0)
+    assert engine.initialize_engine(str(cache))
+    yield
+    engine.cleanup_resources()
+
+
+def _raw(path, w=64, h=64, seed=0):
+    rng = np.random.default_rng(seed)
+    raw_io.write_raw(str(path), rng.integers(0, 65536, (h, w), np.uint16))
+
+
+def test_raw_too_small_rejected(tmp_path):
+    (tmp_path / "tiny.raw").write_bytes(b"\x00" * 100)
+    with pytest.raises(ValueError, match="too small"):
+        raw_io.read_raw(str(tmp_path / "tiny.raw"), 64, 64)
+
+
+def test_batch_continues_past_bad_file(eng, tmp_path):
+    """Per-image isolation: a truncated file fails, the rest succeed
+    (parity with src/main.cpp:159-163 tallies)."""
+    good1 = tmp_path / "a.raw"
+    bad = tmp_path / "b.raw"
+    good2 = tmp_path / "c.raw"
+    _raw(good1, seed=1)
+    bad.write_bytes(b"\x00" * 10)  # truncated
+    _raw(good2, seed=2)
+
+    ok = fail = 0
+    for p in (good1, bad, good2):
+        if engine.process_single_image(str(p), 64, 64, str(tmp_path / "o")):
+            ok += 1
+        else:
+            fail += 1
+    assert ok == 2 and fail == 1
+    assert (tmp_path / "o" / "a_mask.png").exists()
+    assert (tmp_path / "o" / "c_mask.png").exists()
+    assert not (tmp_path / "o" / "b_mask.png").exists()
+
+
+def test_concurrent_process_calls(eng, tmp_path):
+    """Two threads through the full pipeline: the reference's shared static
+    staging buffers would race here; our functional path must not."""
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"t{i}.raw"
+        _raw(p, seed=10 + i)
+        paths.append(p)
+
+    results = {}
+
+    def work(i, p):
+        out = tmp_path / f"out{i % 2}"
+        results[i] = engine.process_single_image(str(p), 64, 64, str(out))
+
+    threads = [
+        threading.Thread(target=work, args=(i, p))
+        for i, p in enumerate(paths)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(results.values())
+    # masks must match a serial re-run (no cross-thread corruption)
+    import cv2
+
+    for i, p in enumerate(paths):
+        serial_out = tmp_path / "serial"
+        assert engine.process_single_image(str(p), 64, 64, str(serial_out))
+        a = cv2.imread(str(tmp_path / f"out{i % 2}" / f"t{i}_mask.png"),
+                       cv2.IMREAD_GRAYSCALE)
+        b = cv2.imread(str(serial_out / f"t{i}_mask.png"),
+                       cv2.IMREAD_GRAYSCALE)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_u16_normalization_path():
+    """API-parity: the reference's 16-bit input branch (process.cpp:30-34)."""
+    from unetseg_tpu.ops.preprocess import model_input_from_u16
+
+    x = np.array([[0, 65535]], np.uint16)
+    out = np.asarray(model_input_from_u16(x))
+    np.testing.assert_allclose(out, [[0.0, 1.0]], atol=1e-7)
+
+
+def test_cli_invalid_numbers(tmp_path, capsys):
+    import io
+
+    from unetseg_tpu import cli
+
+    cache = tmp_path / "e" / "m.ckpt"
+    cache.parent.mkdir()
+    checkpoint.create(str(cache), SMALL, seed=0)
+    script = "\n".join([
+        f"init {cache}",
+        "process somefile.raw abc def",   # non-numeric dims
+        "process onlypath.raw",           # missing dims
+        "init",                           # missing cache path
+        "exit",
+    ]) + "\n"
+    cli.repl(stdin=io.StringIO(script))
+    err = capsys.readouterr().err
+    assert err.count("Error: Invalid process command") == 2
+    assert "Error: Missing engine cache path" in err
