@@ -276,3 +276,145 @@ def conv3x3_winograd_pallas(x: jax.Array, w: jax.Array, b: jax.Array, *,
     # (B, [u*2+v], H2, W2, D) -> (B, H, W, D)
     out = out.reshape(B, 2, 2, H2, W2, D).transpose(0, 3, 1, 4, 2, 5)
     return out.reshape(B, H, W, D)
+
+
+# ---------------------------------------------------------------------------
+# v2 kernel — ablation-informed redesign (docs/PERFORMANCE.md):
+#   * V is computed in XLA (add-only einsum; ~0.3 ms of HBM traffic per conv),
+#   * the kernel consumes ONE V plane per grid step along an `arbitrary`
+#     accumulation axis, so VMEM holds a single (TR, W2, KC) plane + the
+#     4-point output accumulator — freeing the budget for M = TR*W2 >= 4096
+#     dots (the regime where the Mosaic dot sustains),
+#   * all specs are Blocked (V planes are disjoint), so lane-deficient C=64
+#     levels work too — the Element >=128-minor restriction no longer applies,
+#   * the inverse-transform coefficients ride in SMEM; acc updates are
+#     predicated so only the ~2.25 live output points per Winograd point pay.
+# ---------------------------------------------------------------------------
+
+# CO[pt, uv] = AT[u, xi] * AT[v, yi] for pt = 4*xi + yi, uv = 2*u + v.
+_CO = np.zeros((16, 4), np.float32)
+for _pt in range(16):
+    _xi, _yi = divmod(_pt, 4)
+    for _u in range(2):
+        for _v in range(2):
+            _CO[_pt, 2 * _u + _v] = _AT[_u, _xi] * _AT[_v, _yi]
+
+
+def _wino2_kernel(co_ref, v_ref, u_ref, b_ref, out_ref, acc, *, n_s, relu):
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    TR, W2, KC = v_ref.shape
+    TD = u_ref.shape[-1]
+    m = lax.dot_general(
+        v_ref[...].reshape(TR * W2, KC),
+        u_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(TR, W2, TD)
+
+    pt = s // (n_s // 16)
+    for uv in range(4):
+        c = co_ref[pt, uv]
+
+        @pl.when(c != 0.0)
+        def _(uv=uv, c=c):
+            acc[uv] += c * m
+
+    @pl.when(s == n_s - 1)
+    def _():
+        bias = b_ref[0].astype(jnp.float32)
+        for uv in range(4):
+            y = acc[uv] + bias
+            if relu:
+                y = jnp.maximum(y, 0.0)
+            out_ref[uv] = y.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("relu", "tr", "kc", "td", "interpret")
+)
+def conv3x3_winograd_v2(x: jax.Array, w: jax.Array, b: jax.Array, *,
+                        relu: bool = True,
+                        tr=None, kc=None, td=None,
+                        interpret: bool = False) -> jax.Array:
+    """Winograd F(2x2,3x3) conv+bias(+ReLU), plane-per-step accumulation."""
+    B, H, W, C = x.shape
+    D = w.shape[-1]
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    H2, W2 = H // 2, W // 2
+    dtype = x.dtype
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    planes = [
+        xp[:, a : a + H : 2, bb : bb + W : 2, :]
+        for a in range(4)
+        for bb in range(4)
+    ]
+    P = jnp.stack(planes).reshape(4, 4, B, H2, W2, C)
+    bt = jnp.asarray(_BT)
+    V = jnp.einsum("xa,yb,abnhwc->xynhwc", bt, bt,
+                   P.astype(jnp.float32)).astype(dtype)
+    V = V.reshape(16, B, H2, W2, C)
+
+    U = transform_weights(w).astype(dtype).reshape(16, C, D)
+    b2 = b.reshape(1, D)
+    co = jnp.asarray(_CO)
+
+    KC = kc or _pick(C, (128, 256, 64, 512, 32, 16, 8, 4, 2, 1))
+    TD = td or _pick(D, (128, 256, 64, 512, 32, 16, 8, 4, 2, 1))
+    n_k, n_d = C // KC, D // TD
+    if tr:
+        TR = tr
+    else:
+        TR = 1
+        while (
+            TR * 2 <= H2
+            and H2 % (TR * 2) == 0
+            and (TR * 2) * W2 >= 0  # grow until VMEM caps below
+            and (TR * 2) * W2 * KC * 2 <= 2 * 1024 * 1024
+            and 4 * (TR * 2) * W2 * TD * 4 <= 8 * 1024 * 1024
+        ):
+            TR *= 2
+    n_h = H2 // TR
+    n_s = 16 * n_k
+
+    kernel = functools.partial(_wino2_kernel, n_s=n_s, relu=relu)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * n_h, n_d, n_s),
+        in_specs=[
+            pl.BlockSpec((16, 4), lambda i, j, s: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (None, None, TR, W2, KC),
+                lambda i, j, s, n_h=n_h, n_k=n_k: (
+                    s // n_k, i // n_h, i % n_h, 0, s % n_k),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, KC, TD),
+                lambda i, j, s, n_k=n_k: (s // n_k, s % n_k, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, TD), lambda i, j, s: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, 4, TR, W2, TD),
+            lambda i, j, s, n_h=n_h: (i // n_h, 0, i % n_h, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 4, H2, W2, D), dtype),
+        scratch_shapes=[pltpu.VMEM((4, TR, W2, TD), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(co, V, U, b2)
+
+    out = out.reshape(B, 2, 2, H2, W2, D).transpose(0, 3, 1, 4, 2, 5)
+    return out.reshape(B, H, W, D)
