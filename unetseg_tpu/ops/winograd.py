@@ -370,13 +370,15 @@ def conv3x3_winograd_v2(x: jax.Array, w: jax.Array, b: jax.Array, *,
     if tr:
         TR = tr
     else:
+        # VMEM: f32 accumulator (4*TR*W2*TD*4 B) dominates; cap it at 4 MiB
+        # (with the revisited out block and double-buffered V/U under it)
+        # while growing M = TR*W2 toward the >=2048 regime the dot needs.
         TR = 1
         while (
             TR * 2 <= H2
             and H2 % (TR * 2) == 0
-            and (TR * 2) * W2 >= 0  # grow until VMEM caps below
-            and (TR * 2) * W2 * KC * 2 <= 2 * 1024 * 1024
-            and 4 * (TR * 2) * W2 * TD * 4 <= 8 * 1024 * 1024
+            and (TR * 2) * W2 * TD <= 262144
+            and (TR * 2) * W2 * KC * 2 <= 1024 * 1024
         ):
             TR *= 2
     n_h = H2 // TR
