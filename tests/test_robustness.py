@@ -128,3 +128,16 @@ def test_cli_invalid_numbers(tmp_path, capsys):
     err = capsys.readouterr().err
     assert err.count("Error: Invalid process command") == 2
     assert "Error: Missing engine cache path" in err
+
+
+def test_window_larger_than_image(eng, tmp_path):
+    """--window bigger than the image degrades to single-tile inference."""
+    p = tmp_path / "small.raw"
+    _raw(p, w=48, h=40, seed=3)
+    out = tmp_path / "wout"
+    assert engine.process_single_image(str(p), 48, 40, str(out),
+                                       window=512, overlap=128)
+    import cv2
+
+    vis = cv2.imread(str(out / "small_mask.png"), cv2.IMREAD_GRAYSCALE)
+    assert vis.shape == (40, 48)

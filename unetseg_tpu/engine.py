@@ -104,6 +104,9 @@ class InferenceEngine:
     def infer_tiled(self, u8_2d: np.ndarray, window: int,
                     overlap: int) -> jax.Array:
         """Sliding-window inference at native resolution (BASELINE config 3)."""
+        h, w = u8_2d.shape
+        window = min(window, h, w)   # window larger than the image: one tile
+        overlap = min(overlap, window - 1) if window > 1 else 0
         key = ("tiled", u8_2d.shape, window, overlap)
         if key not in self._compiled:
             from unetseg_tpu.parallel import tiles
