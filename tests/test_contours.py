@@ -137,3 +137,26 @@ def test_contours_per_class():
     for c in (1, 2):
         want = cv2_contours(np.where(m == c, 255, 0).astype(np.uint8))
         assert per[c] == want
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_fuzz_512_masks_native():
+    """Full-size parity fuzz: production-resolution masks, blobby + speckle
+    + ring topologies, native tracer vs cv2 exactly."""
+    rng = np.random.default_rng(2024)
+    for trial in range(12):
+        kind = trial % 3
+        if kind == 0:
+            sm = cv2.blur(rng.random((512, 512)).astype(np.float32), (41, 41))
+            m = (sm > 0.5).astype(np.uint8) * 255
+        elif kind == 1:
+            m = (rng.random((512, 512)) > 0.6).astype(np.uint8) * 255
+        else:
+            m = np.zeros((512, 512), np.uint8)
+            for _ in range(20):
+                cv2.circle(
+                    m,
+                    (int(rng.integers(0, 512)), int(rng.integers(0, 512))),
+                    int(rng.integers(2, 80)), 255, int(rng.choice([-1, 1, 3])),
+                )
+        assert native.extract_contours(m) == cv2_contours(m), f"trial {trial}"

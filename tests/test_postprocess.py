@@ -277,3 +277,21 @@ def test_native_postprocess_speckle_noise():
     np.testing.assert_array_equal(
         native.postprocess_batch(mask), oracle_postprocess(mask)
     )
+
+
+def test_fuzz_512_postprocess_native():
+    """Production-resolution postprocess parity fuzz (native vs cv2 oracle)."""
+    from unetseg_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(77)
+    for trial in range(4):
+        sm = cv2.blur(rng.random((512, 512)).astype(np.float32), (31, 31))
+        mask = np.zeros((512, 512), np.uint8)
+        mask[sm > 0.52] = 2
+        mask[(sm > 0.50) & (sm <= 0.52)] = 1
+        np.testing.assert_array_equal(
+            native.postprocess_batch(mask), oracle_postprocess(mask),
+            err_msg=f"trial {trial}",
+        )
