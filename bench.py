@@ -27,7 +27,9 @@ def main() -> int:
     from unetseg_tpu.ops import decode, postprocess, preprocess
 
     cfg = ModelConfig()  # 512², depth-4, base-64, bf16 compute
-    params = unet.init(jax.random.key(0), cfg)
+    # jit the init: one executable instead of ~50 per-tensor dispatches
+    # (each costs ~2 s through a tunneled backend).
+    params = jax.jit(unet.init, static_argnums=(1,))(jax.random.key(0), cfg)
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 

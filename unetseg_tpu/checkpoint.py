@@ -50,7 +50,8 @@ def load(path: str) -> Tuple[dict, ModelConfig]:
 
 def create(path: str, cfg: ModelConfig = ModelConfig(), seed: int = 0) -> None:
     """Create a fresh randomly-initialized checkpoint (for tests/demo/train)."""
-    params = model_registry.init(jax.random.key(seed), cfg)
+    init = jax.jit(model_registry.get(cfg.arch)[0], static_argnums=(1,))
+    params = init(jax.random.key(seed), cfg)
     save(path, params, cfg)
 
 
