@@ -137,3 +137,35 @@ def test_sharded_train_step_runs_and_learns():
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]  # it learns on a fixed batch
     assert int(state.step) == 5
+
+
+def test_sharded_forward_matches_plain(params):
+    mesh = pmesh.make_mesh(8)
+    fwd = pbatch.make_sharded_forward(SMALL, mesh)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.random((8, 64, 64, 1)).astype(np.float32))
+    got = np.asarray(fwd(params, x))
+    want = np.asarray(unet.apply(params, x, SMALL))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_mesh_helpers():
+    mesh = pmesh.make_mesh(8, sp=2)
+    assert mesh.shape == {"dp": 4, "sp": 2}
+    assert pmesh.batch_sharding(mesh).spec == ("dp",)
+    assert pmesh.replicated(mesh).spec == ()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pmesh.make_mesh(8, sp=3)
+
+
+def test_device_trace_writes(tmp_path):
+    from unetseg_tpu.utils.profiling import device_trace
+
+    with device_trace(str(tmp_path / "trace")):
+        jnp.ones((8, 8)).sum().block_until_ready()
+    import os
+
+    found = any(files for _, _, files in os.walk(tmp_path / "trace"))
+    assert found  # profiler dumped something
