@@ -24,7 +24,7 @@ def main() -> int:
 
     from unetseg_tpu.config import ModelConfig
     from unetseg_tpu.models import unet
-    from unetseg_tpu.ops import decode, postprocess, preprocess
+    from unetseg_tpu.ops import decode, preprocess
 
     cfg = ModelConfig()  # 512², depth-4, base-64, bf16 compute
     # jit the init: one executable instead of ~50 per-tensor dispatches
