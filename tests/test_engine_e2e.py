@@ -287,3 +287,53 @@ def test_study_sharding_roundrobin():
     paths = [f"s{i}" for i in range(10)]
     assert distributed.shard_studies(paths) == paths  # single process: all
     assert not distributed.initialize_distributed()  # no-op single process
+
+
+def test_multichip_engine_sharded_batch(initialized_engine, tmp_path):
+    """The engine transparently shards divisible batches over all local
+    devices (VERDICT r1 item 3): under the 8-device virtual mesh the batch-8
+    executable is SPMD over dp, and artifacts match the per-image
+    (single-device fallback) path with no new flags."""
+    import jax
+
+    eng = engine.get_engine()
+    assert eng.mesh is not None
+    assert eng.mesh.devices.size == 8  # conftest's virtual CPU topology
+
+    w, h = 90, 70
+    files = []
+    for i in range(10):  # 10 files, batch 8: one sharded batch + padded tail
+        p = tmp_path / f"m_{i:03d}.raw"
+        _make_raw(p, w, h, seed=100 + i)
+        files.append(str(p))
+
+    # the sharded executable really spans all 8 devices
+    u8 = np.zeros((8, 64, 64), np.uint8)
+    out = eng.infer(u8)
+    assert len(out.sharding.device_set) == 8
+    # batch-1 (indivisible) falls back to unpartitioned (replicated) compute
+    out1 = eng.infer(np.zeros((1, 64, 64), np.uint8))
+    assert out1.sharding.is_fully_replicated
+
+    serial_dir = tmp_path / "serial"
+    batch_dir = tmp_path / "mc_batch"
+    for f in files:
+        assert engine.process_single_image(f, w, h, str(serial_dir))
+    ok, fail = engine.process_batch(
+        files, w, h, [str(batch_dir)] * len(files), batch_size=8
+    )
+    assert ok == 10 and fail == 0
+
+    for i in range(10):
+        base = f"m_{i:03d}"
+        a = cv2.imread(str(serial_dir / f"{base}_mask.png"), cv2.IMREAD_GRAYSCALE)
+        b = cv2.imread(str(batch_dir / f"{base}_mask.png"), cv2.IMREAD_GRAYSCALE)
+        inter = np.logical_and(a > 0, b > 0).sum()
+        union = np.logical_or(a > 0, b > 0).sum()
+        assert union == 0 or inter / union >= 0.999
+        sj = serial_dir / f"{base}.json"
+        bj = batch_dir / f"{base}.json"
+        assert sj.exists() == bj.exists()
+        if sj.exists():
+            assert sj.read_bytes().replace(base.encode(), b"X") == \
+                bj.read_bytes().replace(base.encode(), b"X")

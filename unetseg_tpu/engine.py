@@ -56,8 +56,22 @@ class InferenceEngine:
     def __init__(self, params, cfg: ModelConfig):
         self.cfg = cfg
         self.size = cfg.image_size  # reference hard-codes 512 (process.cpp:70)
-        self.params = jax.device_put(params)
-        self._compiled: Dict[int, jax.stages.Compiled] = {}
+        # Multi-chip: when more than one device is visible, batches are
+        # sharded over a dp mesh transparently (no CLI flags; the analog
+        # surface `process.h:29` stays unchanged).  Per-image batch-1 calls
+        # and odd batch sizes fall back to single-device executables.
+        devs = jax.devices()
+        if len(devs) > 1:
+            from unetseg_tpu.parallel import mesh as pmesh
+
+            self.mesh = pmesh.make_mesh(len(devs))
+            self.params = jax.device_put(params, pmesh.replicated(self.mesh))
+        else:
+            self.mesh = None
+            self.params = jax.device_put(params)
+        # AOT executables keyed by batch size, plus jitted TTA/tiled variants
+        # keyed by ("tta"|"tiled", shape, ...) tuples.
+        self._compiled: Dict[object, object] = {}
 
     # -- the fused dense pipeline ------------------------------------------
     def _pipeline(self, params, u8_batch):
@@ -75,10 +89,37 @@ class InferenceEngine:
         logits = model_registry.apply(params, x, self.cfg)
         return decode.decode_mask(logits, self.cfg.num_classes)
 
+    def _batch_sharding(self, batch_size: int):
+        """NamedSharding for a batch, or None for the single-device path."""
+        if self.mesh is None:
+            return None
+        n_dp = self.mesh.shape["dp"]
+        if batch_size % n_dp != 0:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P("dp"))
+
     def compile(self, batch_size: int) -> jax.stages.Compiled:
-        """AOT compile for a batch size (warm-up + graph capture analog)."""
+        """AOT compile for a batch size (warm-up + graph capture analog).
+
+        On a multi-device host the executable is SPMD over the dp mesh
+        (batch rows split across chips; the per-image pipeline needs no
+        collectives, so scaling is linear over ICI-local chips).
+        """
         if batch_size not in self._compiled:
-            fn = jax.jit(self._pipeline, donate_argnums=(1,))
+            bs = self._batch_sharding(batch_size)
+            if bs is not None:
+                from unetseg_tpu.parallel import mesh as pmesh
+
+                fn = jax.jit(
+                    self._pipeline,
+                    in_shardings=(pmesh.replicated(self.mesh), bs),
+                    out_shardings=bs,
+                    donate_argnums=(1,),
+                )
+            else:
+                fn = jax.jit(self._pipeline, donate_argnums=(1,))
             shape = jax.ShapeDtypeStruct(
                 (batch_size, self.size, self.size), jnp.uint8
             )
@@ -88,7 +129,13 @@ class InferenceEngine:
     def infer(self, u8_batch: np.ndarray) -> jax.Array:
         """Run the fused program; returns device array (async dispatch)."""
         n = u8_batch.shape[0]
-        return self.compile(n)(self.params, jnp.asarray(u8_batch))
+        compiled = self.compile(n)
+        bs = self._batch_sharding(n)
+        if bs is not None:  # host -> per-chip shards directly, no bounce
+            u8 = jax.device_put(np.asarray(u8_batch), bs)
+        else:
+            u8 = jnp.asarray(u8_batch)
+        return compiled(self.params, u8)
 
     def infer_tta(self, u8_2d: np.ndarray) -> jax.Array:
         """8-fold dihedral TTA ensemble on one slice (BASELINE config 5)."""
