@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Headline benchmark: 512² slices/sec/chip through the fused device pipeline.
 
-Measures the full dense path the framework deploys — u8 normalize -> depth-4
-64-ch UNet (bf16) -> argmax decode -> on-device postprocess (hole fill, 3x3
-open, component area filter) — as one XLA executable, batch-32, on whatever
-backend JAX selects (the driver runs this on one real TPU chip).
+Measures the dense device path the framework deploys — u8 normalize ->
+depth-4 64-ch UNet (bf16) -> argmax decode — as one XLA executable,
+batch-32, on whatever backend JAX selects (the driver runs this on one real
+TPU chip).  Mask cleanup runs on the host in production, pipelined off the
+device's critical path (see the comment in main()).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The baseline is the driver's north-star target of 500 512² slices/sec/chip

@@ -337,3 +337,29 @@ def test_multichip_engine_sharded_batch(initialized_engine, tmp_path):
         if sj.exists():
             assert sj.read_bytes().replace(base.encode(), b"X") == \
                 bj.read_bytes().replace(base.encode(), b"X")
+
+
+def test_overlay_png_bytes_match_cv2_default(initialized_engine, tmp_path):
+    """Overlay is written like the reference's bare cv::imwrite
+    (src/mask2polygon.cpp:126) — byte parity with cv2's default PNG params
+    (compression level 1), not an explicit level."""
+    w, h = 100, 80
+    raw_path = tmp_path / "ov.raw"
+    _make_raw(raw_path, w, h, seed=7)
+    out = tmp_path / "out"
+    assert engine.process_single_image(str(raw_path), w, h, str(out))
+
+    overlay = out / "ov_contour_overlay.png"
+    if not overlay.exists():  # no contours for this seed: nothing to compare
+        pytest.skip("no contours detected for this seed")
+
+    # rebuild the overlay exactly as the engine does, write with cv2 defaults
+    from unetseg_tpu.io import png as png_io
+
+    img = png_io.read_png_bgr(str(out / "ov_normalized.png"))
+    vis = cv2.imread(str(out / "ov_mask.png"), cv2.IMREAD_GRAYSCALE)
+    contours = native.extract_contours(vis)
+    png_io.draw_contours_overlay(img, contours)
+    want_path = tmp_path / "want.png"
+    assert cv2.imwrite(str(want_path), img)  # NO params: encoder defaults
+    assert overlay.read_bytes() == want_path.read_bytes()

@@ -118,7 +118,7 @@ def create_overlay_image(contours: List[List[Point]],
                          original_png_path: str, overlay_path: str) -> None:
     img = png.read_png_bgr(original_png_path)
     png.draw_contours_overlay(img, contours)
-    png.write_png(overlay_path, img, compression=3)
+    png.write_png(overlay_path, img, compression=None)
 
 
 def process_single_mask(mask_path: str, output_dir: str, json_path: str,

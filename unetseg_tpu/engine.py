@@ -268,7 +268,7 @@ def _polygonize(mask_vis: np.ndarray, output_dir: str, base_name: str,
         overlay_path = os.path.join(output_dir, base_name + "_contour_overlay.png")
         overlay = png.read_png_bgr(normalized_png_path)
         png.draw_contours_overlay(overlay, contours)
-        png.write_png(overlay_path, overlay, compression=3)
+        png.write_png(overlay_path, overlay, compression=None)
         print(f"Overlay Image Saved to: {overlay_path}")
 
         scale_x = original_w / scaled_w

@@ -19,13 +19,19 @@ except ImportError:  # pragma: no cover
     from PIL import Image
 
 
-def write_png(path: str, img: np.ndarray, compression: int = 0) -> None:
+def write_png(path: str, img: np.ndarray, compression=0) -> None:
+    """compression=None writes with the encoder's defaults — byte parity
+    with a bare ``cv::imwrite`` call (the reference's overlay write,
+    src/mask2polygon.cpp:126; OpenCV's PNG default is level 1)."""
     img = np.asarray(img)
     if _HAVE_CV2:
-        if not cv2.imwrite(path, img, [cv2.IMWRITE_PNG_COMPRESSION, compression]):
+        params = [] if compression is None else \
+            [cv2.IMWRITE_PNG_COMPRESSION, compression]
+        if not cv2.imwrite(path, img, params):
             raise RuntimeError(f"imwrite failed: {path}")
     else:  # pragma: no cover
-        Image.fromarray(img).save(path, compress_level=compression)
+        level = 1 if compression is None else compression
+        Image.fromarray(img).save(path, compress_level=level)
 
 
 def read_png_gray(path: str) -> np.ndarray:

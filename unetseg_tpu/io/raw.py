@@ -3,8 +3,7 @@
 The reference mmaps the RAW file and reinterprets it as uint16 with no header
 parse and no byte-swapping (``/root/reference/src/preprocess.cpp:28-61,86``) —
 i.e. platform (little-endian) order, row-major (h, w).  `numpy.memmap` gives
-the identical page-mapped zero-copy semantics on the host; the C++ loader in
-``csrc/`` provides the same via the native path for the batched feeder.
+the identical page-mapped zero-copy semantics on the host.
 
 Files with DICOM/TIFF extensions are treated identically — the reference never
 parses those formats either, it only *recognises the extensions*

@@ -65,7 +65,10 @@ def cc_label(fg: jax.Array, max_iters: int = 64) -> jax.Array:
     """Label 8-connected components of a (H, W) boolean mask.
 
     Returns int32 (H, W): foreground pixels get their component's root flat
-    index; background pixels get the sentinel ``H*W``.
+    index; background pixels get the sentinel ``H*W``.  ``max_iters`` bounds
+    the hook/compress relaxation (each round at least halves the number of
+    distinct non-root trees, so 64 covers any mask up to 2^64 pixels; the
+    loop exits early once labels are stable).
     """
     h, w = fg.shape
     size = h * w
@@ -86,7 +89,7 @@ def cc_label(fg: jax.Array, max_iters: int = 64) -> jax.Array:
         return lax.fori_loop(0, n_jumps, jump, f)
 
     def body(state):
-        lbl, _ = state
+        lbl, _, i = state
         m = _neighbor_min8(lbl, fg, size)
         m = jnp.where(fg, jnp.minimum(lbl, m), sentinel)
         # Hook: root(p) <- min(root(p), m(p)); scatter-min on the flat array.
@@ -94,12 +97,12 @@ def cc_label(fg: jax.Array, max_iters: int = 64) -> jax.Array:
         flat = flat.at[lbl.reshape(-1)].min(m.reshape(-1))
         f = compress(flat[:-1])
         new = f.reshape(h, w)
-        return new, jnp.any(new != lbl)
+        return new, jnp.any(new != lbl), i + 1
 
     def cond(state):
-        return state[1]
+        return state[1] & (state[2] < max_iters)
 
-    lbl, _ = lax.while_loop(cond, body, (lbl0, jnp.bool_(True)))
+    lbl, _, _ = lax.while_loop(cond, body, (lbl0, jnp.bool_(True), jnp.int32(0)))
     return lbl
 
 

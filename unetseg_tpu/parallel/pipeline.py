@@ -15,6 +15,7 @@ streams (src/process.cpp:143-155), with XLA donation reusing device buffers.
 
 from __future__ import annotations
 
+import functools
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -46,6 +47,23 @@ def _load_batch(paths: Sequence[str], width: int, height: int) -> np.ndarray:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _device_stage(cfg: ModelConfig):
+    """One jitted device program per config — cached at module scope so
+    repeated run_study / measure_p50_latency calls reuse the executable
+    instead of re-jitting (and re-compiling, ~30 s through a tunneled
+    backend) every call."""
+    size = cfg.image_size
+
+    @jax.jit
+    def device_stage(params, raws):
+        u8, x = preprocess.preprocess_batch(raws, size)
+        logits = model_registry.apply(params, x, cfg)
+        return u8, decode.decode_mask(logits, cfg.num_classes)
+
+    return device_stage
+
+
 def run_study(
     params,
     cfg: ModelConfig,
@@ -55,21 +73,21 @@ def run_study(
     batch_size: int = 32,
     emit: Optional[Callable[[int, str, np.ndarray], None]] = None,
     loader_threads: int = 4,
+    emitter_threads: Optional[int] = None,
     keep_masks: bool = False,
 ) -> StudyResult:
     """Run a whole study (stack of same-sized slices) through the pipeline.
 
     ``emit(slice_index, path, cleaned_mask)`` is called on a worker thread for
     each slice (artifact writing); pass None to measure pure pipeline
-    throughput.
+    throughput.  ``emitter_threads`` defaults to ``loader_threads``; scale it
+    with host cores — stage C (mask cleanup + PNG/JSON) is the host-bound
+    stage on small hosts (benchmarks/thread_sweep.py).
     """
     size = cfg.image_size
-
-    @jax.jit
-    def device_stage(params, raws):
-        u8, x = preprocess.preprocess_batch(raws, size)
-        logits = model_registry.apply(params, x, cfg)
-        return u8, decode.decode_mask(logits, cfg.num_classes)
+    if emitter_threads is None:
+        emitter_threads = loader_threads
+    device_stage = _device_stage(cfg)
 
     n = len(slice_paths)
     batches = [
@@ -81,7 +99,7 @@ def run_study(
     inference_s = 0.0
 
     with ThreadPoolExecutor(max_workers=loader_threads) as loaders, \
-            ThreadPoolExecutor(max_workers=loader_threads) as emitters:
+            ThreadPoolExecutor(max_workers=emitter_threads) as emitters:
         # stage A: prefetch all batch loads (bounded by the pool)
         loads = [
             loaders.submit(
@@ -139,12 +157,7 @@ def measure_p50_latency(params, cfg: ModelConfig, raw: np.ndarray,
     written) — the reference's timing likewise starts after the REPL parse.
     """
     size = cfg.image_size
-
-    @jax.jit
-    def dev(params, raw1):
-        u8, x = preprocess.preprocess_batch(raw1, size)
-        logits = model_registry.apply(params, x, cfg)
-        return u8, decode.decode_mask(logits, cfg.num_classes)
+    dev = _device_stage(cfg)
 
     raw1 = jnp.asarray(raw[None])
     # warmup/compile
