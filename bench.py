@@ -7,16 +7,23 @@ batch-32, on whatever backend JAX selects (the driver runs this on one real
 TPU chip).  Mask cleanup runs on the host in production, pipelined off the
 device's critical path (see the comment in main()).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The baseline is the driver's north-star target of 500 512² slices/sec/chip
-(BASELINE.md; the C++ reference publishes no numbers of its own).
+Prints ONE JSON line covering all three BASELINE.md metrics:
+  value        512² slices/sec/chip (vs_baseline = value/500)
+  fg_iou       foreground IoU of the trained flagship checkpoint
+               (models/flagship_synth.ckpt) on held-out synthetic slices
+  p50_ms       single-slice RAW -> polygon-JSON p50 latency (device
+               preprocess+UNet+decode, host cleanup+contours+JSON bytes)
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "models", "flagship_synth.ckpt")
 
 
 def main() -> int:
@@ -28,9 +35,16 @@ def main() -> int:
     from unetseg_tpu.ops import decode, preprocess
 
     cfg = ModelConfig()  # 512², depth-4, base-64, bf16 compute
-    # jit the init: one executable instead of ~50 per-tensor dispatches
-    # (each costs ~2 s through a tunneled backend).
-    params = jax.jit(unet.init, static_argnums=(1,))(jax.random.key(0), cfg)
+    if os.path.exists(CKPT):
+        from unetseg_tpu import checkpoint
+
+        params, cfg = checkpoint.load(CKPT)
+        params = jax.device_put(params)
+        trained = True
+    else:
+        # jit the init: one executable instead of ~50 per-tensor dispatches
+        params = jax.jit(unet.init, static_argnums=(1,))(jax.random.key(0), cfg)
+        trained = False
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 
@@ -64,14 +78,39 @@ def main() -> int:
         out = pipeline(params, u8)
     sync(out)
     dt = time.perf_counter() - t0
-
     slices_per_sec = batch * iters / dt
+
+    # --- accuracy: foreground IoU on held-out synthetic slices -------------
+    fg_iou = None
+    if trained:
+        from unetseg_tpu import data, metrics
+
+        vrng = np.random.default_rng(991)
+        raws, labels = data.synth_batch(vrng, 8)
+        u8v = np.stack([preprocess.preprocess_oracle_u8(r, 512) for r in raws])
+        pred = np.asarray(pipeline(params, jnp.asarray(u8v)))
+        fg_iou = float(np.mean([
+            float(metrics.foreground_iou(pred[i], labels[i]))
+            for i in range(len(labels))
+        ]))
+
+    # --- p50 single-slice RAW -> polygon-JSON latency -----------------------
+    from unetseg_tpu.parallel import pipeline as study_pipeline
+
+    raw = np.random.default_rng(7).integers(
+        0, 65536, size=(512, 512), dtype=np.uint16)
+    p50_ms = study_pipeline.measure_p50_latency(
+        params, cfg, raw, 512, 512, iters=20) * 1e3
+
     baseline = 500.0
     print(json.dumps({
         "metric": "512^2 slices/sec/chip (fused normalize+UNet+argmax device pipeline)",
         "value": round(slices_per_sec, 2),
         "unit": "slices/sec",
         "vs_baseline": round(slices_per_sec / baseline, 3),
+        "fg_iou": round(fg_iou, 4) if fg_iou is not None else None,
+        "p50_ms": round(p50_ms, 2),
+        "trained_checkpoint": trained,
     }))
     return 0
 

@@ -85,9 +85,27 @@ class InferenceEngine:
         (ops/postprocess.py) exists and is oracle-verified, but the engine
         overlaps host cleanup with the next batch's device work instead.
         """
+        if self._use_fused():
+            from unetseg_tpu.models import unet_fused
+
+            return unet_fused.apply_fused_mask(params, u8_batch, self.cfg)
         x = preprocess.model_input_from_u8(u8_batch)[..., None]
         logits = model_registry.apply(params, x, self.cfg)
         return decode.decode_mask(logits, self.cfg.num_classes)
+
+    def _use_fused(self) -> bool:
+        """Route through the Pallas mega-kernel path (ops/fused_level.py)?
+
+        Opt-in via ModelConfig.conv_impl == "fused"; requires the flagship
+        geometry and a real TPU backend (the kernels are Mosaic programs;
+        CPU tests exercise them in interpret mode instead).
+        """
+        if self.cfg.conv_impl != "fused":
+            return False
+        from unetseg_tpu.models import unet_fused
+
+        return (unet_fused.supports(self.cfg)
+                and jax.devices()[0].platform == "tpu")
 
     def _batch_sharding(self, batch_size: int):
         """NamedSharding for a batch, or None for the single-device path."""
