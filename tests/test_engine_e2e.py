@@ -363,3 +363,36 @@ def test_overlay_png_bytes_match_cv2_default(initialized_engine, tmp_path):
     want_path = tmp_path / "want.png"
     assert cv2.imwrite(str(want_path), img)  # NO params: encoder defaults
     assert overlay.read_bytes() == want_path.read_bytes()
+
+
+def test_checkpoint_version_guard(tmp_path):
+    p = tmp_path / "future.ckpt"
+    p.write_bytes(b"UTPUCKPT9\n" + b"\x00" * 32)
+    with pytest.raises(ValueError, match="version mismatch"):
+        checkpoint.load(str(p))
+    q = tmp_path / "junk.ckpt"
+    q.write_bytes(b"NOTACKPT!!" + b"\x00" * 32)
+    with pytest.raises(ValueError, match="Not a unetseg_tpu checkpoint"):
+        checkpoint.load(str(q))
+
+
+def test_warm_start_compilation_cache(tmp_path):
+    """Second initialize_engine reuses the persistent XLA compile cache —
+    the .trt plan-reuse analog (reference src/initialize.cpp:48-60): no new
+    cache entries are written on a warm re-init."""
+    cache = tmp_path / "engine" / "model.ckpt"
+    cache.parent.mkdir()
+    checkpoint.create(str(cache), SMALL, seed=0)
+
+    assert engine.initialize_engine(str(cache))
+    engine.cleanup_resources()
+    cache_dir = tmp_path / "engine" / "jax_cache"
+    assert cache_dir.is_dir()
+    files_cold = sorted(f.name for f in cache_dir.iterdir())
+    assert files_cold, "first init must populate the persistent cache"
+
+    assert engine.initialize_engine(str(cache))
+    engine.cleanup_resources()
+    files_warm = sorted(f.name for f in cache_dir.iterdir())
+    assert files_warm == files_cold, (
+        "warm re-init recompiled: new persistent-cache entries appeared")

@@ -37,10 +37,22 @@ def save(path: str, params, cfg: ModelConfig) -> None:
 
 
 def load(path: str) -> Tuple[dict, ModelConfig]:
-    """Deserialize a checkpoint; returns (params, model_config)."""
+    """Deserialize a checkpoint; returns (params, model_config).
+
+    Version guard: files written by a newer/older format revision (magic
+    ``UTPUCKPT<n>``) fail with an actionable message instead of a decode
+    error deep inside msgpack.
+    """
     with open(path, "rb") as f:
         magic = f.read(len(MAGIC))
         if magic != MAGIC:
+            if magic.startswith(b"UTPUCKPT"):
+                raise ValueError(
+                    f"Checkpoint format version mismatch: {path} has "
+                    f"{magic.strip().decode(errors='replace')!r}, this build "
+                    f"reads {MAGIC.strip().decode()!r} — re-export the "
+                    f"checkpoint with a matching framework version"
+                )
             raise ValueError(f"Not a unetseg_tpu checkpoint: {path}")
         blob = f.read()
     data = serialization.msgpack_restore(blob)
