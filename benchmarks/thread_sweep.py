@@ -2,11 +2,12 @@
 """Study-pipeline overlap scaling (VERDICT r1 item 6).
 
 Sweeps loader/emitter thread counts for a synthetic 300-slice study and
-reports wall slices/s vs the pure device rate.  With a trivial emit the wall
-rate should track the device rate within ~20% once threads cover the host
-stages; on a 1-core box the host stages (C++ cleanup ~12 ms/mask + PNG/JSON)
-bound the wall rate regardless — that is a host-capacity fact, not a pipeline
-defect (production v5e hosts have ~14 cores/chip).
+reports wall slices/s vs the pure device rate.  Measured finding (RESULTS_r2.md):
+on this box the serial resource is the tunneled H2D path (0.04 GB/s) — more
+threads HURT (contention + GIL), and the wall rate is transfer-bound at
+~18 slices/s regardless of thread count. On production hosts (PCIe >=10
+GB/s, ~14 cores/chip) the loader/emitter pools are the scaling lever this
+flag sweep exercises.
 """
 
 import os
