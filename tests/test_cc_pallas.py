@@ -1,0 +1,80 @@
+"""Pallas segmented-scan CCL vs the XLA oracle (interpret mode on CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unetseg_tpu.ops import cc, postprocess
+from unetseg_tpu.ops.cc_pallas import cc_label_pallas
+
+
+def _check(fg):
+    want = np.asarray(cc.cc_label(jnp.asarray(fg)))
+    got = np.asarray(cc_label_pallas(jnp.asarray(fg), interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_blobs(seed):
+    rng = np.random.default_rng(seed)
+    _check(rng.random((64, 64)) > 0.55)
+
+
+def test_spiral_worst_case():
+    H = W = 64
+    fg = np.zeros((H, W), bool)
+    x0, y0, x1, y1 = 0, 0, W - 1, H - 1
+    while x0 < x1:
+        fg[y0, x0:x1 + 1] = True
+        fg[y0:y1 + 1, x1] = True
+        fg[y1, x0:x1 + 1] = True
+        fg[y0 + 2:y1 + 1, x0] = True
+        x0 += 4
+        y0 += 4
+        x1 -= 4
+        y1 -= 4
+    _check(fg)
+
+
+def test_degenerate_masks():
+    _check(np.zeros((32, 32), bool))
+    _check(np.ones((32, 32), bool))
+    single = np.zeros((32, 32), bool)
+    single[5, 7] = True
+    _check(single)
+
+
+def test_diagonal_only_links():
+    fg = np.zeros((16, 16), bool)
+    fg[2, 2] = fg[3, 3] = fg[4, 4] = True     # one 8-connected chain
+    fg[10, 2] = fg[12, 4] = True              # two separate pixels
+    _check(fg)
+
+
+def test_batched():
+    rng = np.random.default_rng(9)
+    fg = rng.random((3, 32, 32)) > 0.5
+    want = np.stack([np.asarray(cc.cc_label(jnp.asarray(f))) for f in fg])
+    got = np.asarray(cc_label_pallas(jnp.asarray(fg), interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_postprocess_v2_matches_v1(monkeypatch):
+    # route the pallas CCL through interpret mode on CPU
+    from unetseg_tpu.ops import cc_pallas
+
+    orig = cc_pallas.cc_label_pallas
+    monkeypatch.setattr(cc_pallas, "cc_label_pallas",
+                        functools.partial(orig, interpret=True))
+
+    from unetseg_tpu import data
+
+    rng = np.random.default_rng(5)
+    _, lab = data.synth_slice(rng, 128)
+    m = jnp.asarray(lab)
+    v1 = np.asarray(postprocess.postprocess_mask(m))
+    v2 = np.asarray(postprocess.postprocess_mask(m, use_pallas_cc=True))
+    np.testing.assert_array_equal(v1, v2)

@@ -137,3 +137,11 @@ def connected_components_with_stats(fg: jax.Array):
     """Convenience wrapper: labels + stats for a (H, W) bool mask."""
     lbl = cc_label(fg)
     return lbl, cc_stats(fg, lbl)
+
+def cc_area(fg: jax.Array, lbl: jax.Array) -> jax.Array:
+    """Per-root areas only (one scatter-add) — for consumers that don't need
+    bboxes (the postprocess area filter), ~5x cheaper than full cc_stats."""
+    h, w = fg.shape
+    size = h * w
+    return jnp.zeros((size + 1,), jnp.int32).at[lbl.reshape(-1)].add(
+        fg.reshape(-1).astype(jnp.int32))
