@@ -41,7 +41,10 @@ n_h = H // TR
 WF = W2 + 2
 
 
-def make(variant):
+def make(variant, TR=TR, vmem_mb=None):
+    n_h = H // TR
+    WF = W2 + 2
+
     def kernel(z_ref, skip_ref, wu_ref, w1lo_ref, w1hi_ref, w2lo_ref,
                w2hi_ref, wh_ref, out_ref):
         r0 = (pl.program_id(0) % n_h) * TR
@@ -178,7 +181,8 @@ def make(variant):
                 memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, n_h, TR * W2, 8), jnp.float32),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel",)),
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=vmem_mb * 1024 * 1024 if vmem_mb else None),
         )(z, skip, wu, w1lo, w1hi, w2lo, w2hi, wh)
 
     return run
@@ -205,3 +209,22 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def main_vmem():
+    k = jax.random.key(0)
+    z = jax.random.normal(k, (B, 258, 258, C2), jnp.bfloat16)
+    skip = jax.random.normal(k, (B, 516, 258, C2), jnp.bfloat16)
+    wu = jax.random.normal(k, (2, C2, C2), jnp.bfloat16) * 0.1
+    w1lo = jax.random.normal(k, (2, 3, C2, C2), jnp.bfloat16) * 0.1
+    w1hi = jax.random.normal(k, (2, 3, C2, C2), jnp.bfloat16) * 0.1
+    w2lo = jax.random.normal(k, (3, C2, C2), jnp.bfloat16) * 0.1
+    w2hi = jax.random.normal(k, (3, C2, C2), jnp.bfloat16) * 0.1
+    wh = jax.random.normal(k, (C2, 8), jnp.bfloat16) * 0.1
+    args = (z, skip, wu, w1lo, w1hi, w2lo, w2hi, wh)
+    for tr, mb in ((8, 64), (16, 64), (32, 100), (64, 120)):
+        try:
+            ms = timeit(make("full", TR=tr, vmem_mb=mb), args) * 1e3
+            print(f"dec1 TR={tr:2d} vmem={mb}MB: {ms:8.1f} ms", flush=True)
+        except Exception as e:
+            print(f"dec1 TR={tr:2d} vmem={mb}MB: FAIL {str(e)[:140]}", flush=True)

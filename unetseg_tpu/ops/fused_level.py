@@ -198,56 +198,41 @@ def _dec1_full_kernel(z_ref, skip_ref, wu_ref, bu_ref, w1lo_ref, w1hi_ref,
     Mz = (TR // 2 + 2) * WF
     H = TR * n_h
 
-    # upsample GEMMs -> parity planes (padded-E over fcs -1..W2, rows halo'd)
+    # upsample GEMMs -> parity planes, interleaved into one contiguous
+    # row buffer: up_full row r' = abs up row r0-2+r' (padded-E cols).
     zs = z_ref[0].reshape(Mz, C2)
     planes = []
     for a in range(2):
         pa = lax.dot_general(zs, wu_ref[a], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-        pa = pa.reshape(TR // 2 + 2, WF, C2) + bu_ref[...]
-        rz = lax.broadcasted_iota(jnp.int32, (TR // 2 + 2, WF, 1), 0)
-        abs_row = 2 * (r0 // 2 + rz - 1) + a
-        fc = lax.broadcasted_iota(jnp.int32, (TR // 2 + 2, WF, 1), 1)
-        valid = (abs_row >= 0) & (abs_row < H) & (fc >= 1) & (fc <= W2)
-        planes.append(jnp.where(valid, pa, 0.0).astype(relu_dtype))
+        pa = pa.reshape(TR // 2 + 2, 1, WF, C2) + bu_ref[...]
+        planes.append(pa)
+    up = jnp.concatenate(planes, axis=1).reshape(TR + 4, WF, C2)
+    row = lax.broadcasted_iota(jnp.int32, (TR + 4, WF, 1), 0)
+    fc = lax.broadcasted_iota(jnp.int32, (TR + 4, WF, 1), 1)
+    abs_row = r0 - 2 + row
+    valid = (abs_row >= 0) & (abs_row < H) & (fc >= 1) & (fc <= W2)
+    up = jnp.where(valid, up, 0.0).astype(relu_dtype)
 
-    # conv1 (E -> L), skip + up sources
+    # conv1 (E -> L), two sources with identical window structure
     R1 = TR + 2
     M1 = R1 * (W2 + 1)
     acc1 = jnp.zeros((M1, C2), jnp.float32)
     for dy in range(3):
-        sk = skip_ref[0, dy:dy + R1, :, :]
-        a_lo = sk[:, 0:W2 + 1, :].reshape(M1, C2)
-        a_hi = sk[:, 1:W2 + 2, :].reshape(M1, C2)
-        acc1 += lax.dot_general(a_lo, w1lo_ref[0, dy],
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        acc1 += lax.dot_general(a_hi, w1hi_ref[0, dy],
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    acc1 = acc1.reshape(R1, W2 + 1, C2)
-    Mh = (R1 // 2) * (W2 + 1)
-    halves = []
-    for i_par in range(2):
-        acc_h = jnp.zeros((Mh, C2), jnp.float32)
-        for dy in range(3):
-            a = (i_par + dy) & 1
-            base = (i_par + dy - a) // 2
-            pr = planes[a][base:base + R1 // 2, :, :]
-            a_lo = pr[:, 0:W2 + 1, :].reshape(Mh, C2)
-            a_hi = pr[:, 1:W2 + 2, :].reshape(Mh, C2)
-            acc_h += lax.dot_general(a_lo, w1lo_ref[1, dy],
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            acc_h += lax.dot_general(a_hi, w1hi_ref[1, dy],
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-        halves.append(acc_h.reshape(R1 // 2, 1, W2 + 1, C2))
-    # interleave even/odd output rows (untiled-dim stack+reshape; strided
-    # writes don't lower in Mosaic)
-    acc1 = acc1 + jnp.concatenate(halves, axis=1).reshape(R1, W2 + 1, C2)
+        for src, buf in ((0, None), (1, up)):
+            rows = skip_ref[0, dy:dy + R1, :, :] if src == 0 \
+                else buf[dy:dy + R1, :, :]
+            a_lo = rows[:, 0:W2 + 1, :].reshape(M1, C2)
+            a_hi = rows[:, 1:W2 + 2, :].reshape(M1, C2)
+            acc1 += lax.dot_general(a_lo, w1lo_ref[src, dy],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            acc1 += lax.dot_general(a_hi, w1hi_ref[src, dy],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
 
-    c1 = jnp.maximum(acc1 + b1_ref[...].astype(jnp.float32), 0.0)
+    c1 = jnp.maximum(acc1.reshape(R1, W2 + 1, C2)
+                     + b1_ref[...].astype(jnp.float32), 0.0)
     fc = lax.broadcasted_iota(jnp.int32, (R1, W2 + 1, C2), 1)
     ch = lax.broadcasted_iota(jnp.int32, (R1, W2 + 1, C2), 2)
     row = lax.broadcasted_iota(jnp.int32, (R1, W2 + 1, C2), 0)

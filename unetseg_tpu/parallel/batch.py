@@ -9,12 +9,22 @@ all), and each chip runs batch/n_dp slices.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from unetseg_tpu.config import ModelConfig
 from unetseg_tpu.models import registry as model_registry
 from unetseg_tpu.ops import decode, postprocess, preprocess
+
+def _device_cc() -> bool:
+    """Pallas CCL (ops/cc_pallas) on real TPUs; XLA relaxation elsewhere
+    (tests run the CPU backend where Mosaic kernels can't compile)."""
+    import jax
+
+    return jax.devices()[0].platform == "tpu"
+
 
 
 def make_sharded_pipeline(cfg: ModelConfig, mesh: Mesh, spatial: bool = False):
@@ -32,7 +42,9 @@ def make_sharded_pipeline(cfg: ModelConfig, mesh: Mesh, spatial: bool = False):
         )
         logits = model_registry.apply(params, x, cfg)
         mask = decode.decode_mask(logits, cfg.num_classes)
-        return jax.vmap(postprocess.postprocess_mask)(mask)
+        return jax.vmap(functools.partial(
+            postprocess.postprocess_mask, use_pallas_cc=_device_cc()
+        ))(mask)
 
     return jax.jit(
         pipeline,

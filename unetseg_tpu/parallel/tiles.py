@@ -128,7 +128,10 @@ def make_tiled_pipeline(cfg: ModelConfig, window: int = 512,
         logits = blend_windows(logit_tiles, h, w, window, stride)
         mask = decode.decode_mask(logits, cfg.num_classes)
         if device_postprocess:
-            mask = postprocess.postprocess_mask(mask)
+            from unetseg_tpu.parallel.batch import _device_cc
+
+            mask = postprocess.postprocess_mask(
+                mask, use_pallas_cc=_device_cc())
         return mask
 
     return jax.jit(pipeline)

@@ -72,7 +72,10 @@ def make_tta_pipeline(cfg: ModelConfig, mesh=None, device_postprocess=True):
         mean_logits = jnp.mean(undone, axis=0)
         mask = decode.decode_mask(mean_logits, cfg.num_classes)
         if device_postprocess:
-            mask = postprocess.postprocess_mask(mask)
+            from unetseg_tpu.parallel.batch import _device_cc
+
+            mask = postprocess.postprocess_mask(
+                mask, use_pallas_cc=_device_cc())
         return mask
 
     return jax.jit(pipeline)
