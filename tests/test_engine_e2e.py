@@ -382,7 +382,11 @@ def test_warm_start_compilation_cache(tmp_path):
     cache entries are written on a warm re-init."""
     cache = tmp_path / "engine" / "model.ckpt"
     cache.parent.mkdir()
-    checkpoint.create(str(cache), SMALL, seed=0)
+    # unique geometry so no earlier test in the session compiled this
+    # program (the persistent cache only writes on real compiles)
+    cfg = ModelConfig(base_channels=12, depth=2, image_size=64,
+                      compute_dtype="float32")
+    checkpoint.create(str(cache), cfg, seed=0)
 
     assert engine.initialize_engine(str(cache))
     engine.cleanup_resources()
