@@ -213,6 +213,12 @@ def initialize_engine(cache_path: str, log_dir: Optional[str] = None) -> bool:
         # and re-runs skip XLA compilation entirely.
         try:
             cache_dir = os.path.join(os.path.dirname(cache_path), "jax_cache")
+            if jax.config.jax_compilation_cache_dir not in (None, cache_dir):
+                # jax latches the first dir at cache init; reset so an engine
+                # re-init against a different checkpoint honours ITS cache.
+                from jax._src import compilation_cache as _cc
+
+                _cc.reset_cache()
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         except Exception:
