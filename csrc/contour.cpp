@@ -392,63 +392,74 @@ char* utpu_size_json(const char* filename, int orig_w, int orig_h,
 
 namespace {
 
-// 8-connected CC over a predicate grid; returns root label per pixel and
-// fills per-root stats (area, bbox). Roots are flat indices; background = -1.
-//
-// The union convention keeps the minimum flat index as root, so after the
-// union pass a single ascending sweep fully resolves every pixel
-// (parent[i] <= i, and parent[i] was already resolved when we reach i) —
-// no per-pixel find() loops on the hot path.
-struct CCResult {
-  std::vector<int32_t> root;      // per pixel, -1 if not in set
-  std::vector<int32_t> area;      // indexed by root
-  std::vector<int32_t> minx, miny, maxx, maxy;
+// Run-length-encoded 8-connected CC: unions happen per *run pair*, not per
+// pixel — typical cleaned masks have a few hundred runs vs 262k pixels, so
+// labeling + stats cost O(runs) after one O(n) row scan, with no
+// image-sized scratch allocations (the round-1 per-pixel union-find spent
+// most of its ~12 ms/mask zeroing 5 image-sized stat arrays per CC call).
+struct Run {
+  int32_t y, x0, x1;  // [x0, x1)
 };
 
-CCResult cc_with_stats(const std::vector<uint8_t>& in, int h, int w,
-                       bool connect8) {
-  const size_t n = static_cast<size_t>(h) * w;
-  DSU dsu(n);
+struct RLECC {
+  std::vector<Run> runs;        // sorted by (y, x0)
+  std::vector<int32_t> parent;  // DSU over run indices (min-root)
+  std::vector<int32_t> area, minx, miny, maxx, maxy;  // per ROOT run index
+
+  int32_t root_of(int32_t r) const { return parent[r]; }  // post-resolve
+};
+
+// Predicate-driven run extraction + union: pred(row_ptr, x) -> bool.
+template <typename Pred>
+RLECC rle_cc(const uint8_t* img, int h, int w, Pred pred, bool connect8) {
+  RLECC r;
+  r.runs.reserve(256);
+  r.parent.reserve(256);
+  const int k = connect8 ? 1 : 0;
+  int prev_begin = 0, prev_end = 0;
   for (int y = 0; y < h; ++y) {
-    const size_t row = static_cast<size_t>(y) * w;
-    for (int x = 0; x < w; ++x) {
-      const size_t i = row + x;
-      if (!in[i]) continue;
-      if (x > 0 && in[i - 1]) dsu.unite(i, i - 1);
-      if (y > 0) {
-        if (in[i - w]) dsu.unite(i, i - w);
-        if (connect8) {
-          if (x > 0 && in[i - w - 1]) dsu.unite(i, i - w - 1);
-          if (x + 1 < w && in[i - w + 1]) dsu.unite(i, i - w + 1);
-        }
+    const uint8_t* row = img + static_cast<size_t>(y) * w;
+    const int row_begin = static_cast<int>(r.runs.size());
+    int x = 0;
+    int j = prev_begin;  // cursor into the previous row's runs
+    while (x < w) {
+      while (x < w && !pred(row, x)) ++x;
+      if (x >= w) break;
+      const int x0 = x;
+      while (x < w && pred(row, x)) ++x;
+      const int32_t idx = static_cast<int32_t>(r.runs.size());
+      r.runs.push_back({y, x0, x});
+      r.parent.push_back(idx);
+      // unite with previous-row runs overlapping [x0-k, x1+k)
+      while (j < prev_end && r.runs[j].x1 <= x0 - k) ++j;
+      for (int t = j; t < prev_end && r.runs[t].x0 < x + k; ++t) {
+        // DSU unite by min root
+        int32_t a = idx, b = t;
+        while (r.parent[a] != a) a = r.parent[a] = r.parent[r.parent[a]];
+        while (r.parent[b] != b) b = r.parent[b] = r.parent[r.parent[b]];
+        if (a != b) r.parent[std::max(a, b)] = std::min(a, b);
       }
     }
+    prev_begin = row_begin;
+    prev_end = static_cast<int>(r.runs.size());
   }
-  // Ascending resolve: parent chains point strictly downward.
-  std::vector<int32_t>& p = dsu.parent;
-  for (size_t i = 0; i < n; ++i) p[i] = p[p[i]] == p[i] ? p[i] : p[p[i]];
-  for (size_t i = 0; i < n; ++i) p[i] = p[p[i]];  // chains are length <= 2 now
+  // Ascending resolve: parent[i] <= i, so one sweep flattens every chain.
+  const int32_t nr = static_cast<int32_t>(r.runs.size());
+  for (int32_t i = 0; i < nr; ++i) r.parent[i] = r.parent[r.parent[i]];
 
-  CCResult r;
-  r.root.assign(n, -1);
-  r.area.assign(n, 0);
-  r.minx.assign(n, w);
-  r.miny.assign(n, h);
-  r.maxx.assign(n, -1);
-  r.maxy.assign(n, -1);
-  for (int y = 0; y < h; ++y) {
-    const size_t row = static_cast<size_t>(y) * w;
-    for (int x = 0; x < w; ++x) {
-      const size_t i = row + x;
-      if (!in[i]) continue;
-      const int32_t root = p[i];
-      r.root[i] = root;
-      r.area[root]++;
-      if (x < r.minx[root]) r.minx[root] = x;
-      if (y < r.miny[root]) r.miny[root] = y;
-      if (x > r.maxx[root]) r.maxx[root] = x;
-      if (y > r.maxy[root]) r.maxy[root] = y;
-    }
+  r.area.assign(nr, 0);
+  r.minx.assign(nr, w);
+  r.miny.assign(nr, h);
+  r.maxx.assign(nr, -1);
+  r.maxy.assign(nr, -1);
+  for (int32_t i = 0; i < nr; ++i) {
+    const Run& run = r.runs[i];
+    const int32_t root = r.parent[i];
+    r.area[root] += run.x1 - run.x0;
+    if (run.x0 < r.minx[root]) r.minx[root] = run.x0;
+    if (run.x1 - 1 > r.maxx[root]) r.maxx[root] = run.x1 - 1;
+    if (run.y < r.miny[root]) r.miny[root] = run.y;
+    if (run.y > r.maxy[root]) r.maxy[root] = run.y;
   }
   return r;
 }
@@ -462,26 +473,27 @@ void postprocess_one(const uint8_t* mask, int h, int w, uint8_t* out) {
 
   // 1. hole fill: 8-CC of the inverse of (mask == 2); components whose bbox
   //    touches no border AND area < min_area become foreground.
-  std::vector<uint8_t> fg_v(n), inv(n);
-  for (size_t i = 0; i < n; ++i) {
-    fg_v[i] = mask[i] == 2;
-    inv[i] = !fg_v[i];
-  }
+  std::vector<uint8_t> fg_v(n);
+  for (size_t i = 0; i < n; ++i) fg_v[i] = mask[i] == 2;
   {
-    CCResult cc = cc_with_stats(inv, h, w, /*connect8=*/true);
-    std::vector<uint8_t> is_hole(n, 0);
-    for (size_t i = 0; i < n; ++i) {
-      const int32_t root = cc.root[i];
-      if (root < 0) continue;
+    RLECC cc = rle_cc(
+        mask, h, w, [](const uint8_t* row, int x) { return row[x] != 2; },
+        /*connect8=*/true);
+    for (size_t i = 0; i < cc.runs.size(); ++i) {
+      const int32_t root = cc.parent[i];
       if (cc.minx[root] > 0 && cc.miny[root] > 0 && cc.maxx[root] < w - 1 &&
-          cc.maxy[root] < h - 1 && cc.area[root] < min_area)
-        fg_v[i] = 1;
+          cc.maxy[root] < h - 1 && cc.area[root] < min_area) {
+        const Run& run = cc.runs[i];
+        std::fill(fg_v.begin() + static_cast<size_t>(run.y) * w + run.x0,
+                  fg_v.begin() + static_cast<size_t>(run.y) * w + run.x1,
+                  uint8_t{1});
+      }
     }
   }
 
   // 2. 3x3 MORPH_OPEN, separable (3x1 then 1x3): erode pads with fg,
   //    dilate pads with bg — OpenCV default border semantics.
-  std::vector<uint8_t> tmp(n), er(n), op(n);
+  std::vector<uint8_t> tmp(n), op(n);
   auto row_of = [&](std::vector<uint8_t>& v, int y) {
     return v.data() + static_cast<size_t>(y) * w;
   };
@@ -494,10 +506,10 @@ void postprocess_one(const uint8_t* mask, int h, int w, uint8_t* out) {
     for (int x = 0; x < w; ++x)
       out_row[x] = mid[x] & (up ? up[x] : 1) & (dn ? dn[x] : 1);
   }
-  // horizontal erode
+  // horizontal erode (in place into fg_v, reused as scratch)
   for (int y = 0; y < h; ++y) {
     const uint8_t* r = row_of(tmp, y);
-    uint8_t* o = row_of(er, y);
+    uint8_t* o = row_of(fg_v, y);
     for (int x = 0; x < w; ++x) {
       uint8_t v = r[x];
       if (x > 0) v &= r[x - 1];
@@ -507,9 +519,9 @@ void postprocess_one(const uint8_t* mask, int h, int w, uint8_t* out) {
   }
   // vertical dilate
   for (int y = 0; y < h; ++y) {
-    const uint8_t* up = y > 0 ? row_of(er, y - 1) : nullptr;
-    const uint8_t* mid = row_of(er, y);
-    const uint8_t* dn = y + 1 < h ? row_of(er, y + 1) : nullptr;
+    const uint8_t* up = y > 0 ? row_of(fg_v, y - 1) : nullptr;
+    const uint8_t* mid = row_of(fg_v, y);
+    const uint8_t* dn = y + 1 < h ? row_of(fg_v, y + 1) : nullptr;
     uint8_t* out_row = row_of(tmp, y);
     for (int x = 0; x < w; ++x)
       out_row[x] = mid[x] | (up ? up[x] : 0) | (dn ? dn[x] : 0);
@@ -526,11 +538,17 @@ void postprocess_one(const uint8_t* mask, int h, int w, uint8_t* out) {
     }
   }
 
-  // 3. component area filter + remap {0,2}.
-  CCResult cc = cc_with_stats(op, h, w, /*connect8=*/true);
-  for (size_t i = 0; i < n; ++i) {
-    const int32_t root = cc.root[i];
-    out[i] = (root >= 0 && cc.area[root] >= min_area) ? 2 : 0;
+  // 3. component area filter + remap {0,2}: emit per run.
+  std::memset(out, 0, n);
+  RLECC cc = rle_cc(
+      op.data(), h, w, [](const uint8_t* row, int x) { return row[x] != 0; },
+      /*connect8=*/true);
+  for (size_t i = 0; i < cc.runs.size(); ++i) {
+    if (cc.area[cc.parent[i]] >= min_area) {
+      const Run& run = cc.runs[i];
+      std::memset(out + static_cast<size_t>(run.y) * w + run.x0, 2,
+                  run.x1 - run.x0);
+    }
   }
 }
 
