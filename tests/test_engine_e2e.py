@@ -400,3 +400,28 @@ def test_warm_start_compilation_cache(tmp_path):
     files_warm = sorted(f.name for f in cache_dir.iterdir())
     assert files_warm == files_cold, (
         "warm re-init recompiled: new persistent-cache entries appeared")
+
+
+def test_all_device_serving_mode(tmp_path):
+    """initialize_engine(device_postprocess=True) fuses mask cleanup into
+    the device executable; artifacts match the host-cleanup path."""
+    cache = tmp_path / "engine" / "model.ckpt"
+    cache.parent.mkdir()
+    checkpoint.create(str(cache), SMALL, seed=0)
+    w, h = 90, 70
+    raw_path = tmp_path / "d.raw"
+    _make_raw(raw_path, w, h, seed=21)
+
+    assert engine.initialize_engine(str(cache))
+    assert engine.process_single_image(str(raw_path), w, h, str(tmp_path / "host"))
+    engine.cleanup_resources()
+
+    assert engine.initialize_engine(str(cache), device_postprocess=True)
+    eng = engine.get_engine()
+    assert eng.device_postprocess
+    assert engine.process_single_image(str(raw_path), w, h, str(tmp_path / "dev"))
+    engine.cleanup_resources()
+
+    a = cv2.imread(str(tmp_path / "host" / "d_mask.png"), cv2.IMREAD_GRAYSCALE)
+    b = cv2.imread(str(tmp_path / "dev" / "d_mask.png"), cv2.IMREAD_GRAYSCALE)
+    np.testing.assert_array_equal(a, b)

@@ -53,9 +53,15 @@ class InferenceEngine:
     device-resident param pytree and a cache of AOT-compiled XLA programs.
     """
 
-    def __init__(self, params, cfg: ModelConfig):
+    def __init__(self, params, cfg: ModelConfig,
+                 device_postprocess: bool = False):
         self.cfg = cfg
         self.size = cfg.image_size  # reference hard-codes 512 (process.cpp:70)
+        # All-device serving mode: fuse the mask cleanup (hole fill / open /
+        # CC area filter, ops/postprocess.py with the Pallas segmented-scan
+        # CCL on TPU) into the inference executable — for host-poor
+        # deployments; the default overlaps the C++ host cleanup instead.
+        self.device_postprocess = device_postprocess
         # Multi-chip: when more than one device is visible, batches are
         # sharded over a dp mesh transparently (no CLI flags; the analog
         # surface `process.h:29` stays unchanged).  Per-image batch-1 calls
@@ -88,10 +94,26 @@ class InferenceEngine:
         if self._use_fused():
             from unetseg_tpu.models import unet_fused
 
-            return unet_fused.apply_fused_mask(params, u8_batch, self.cfg)
-        x = preprocess.model_input_from_u8(u8_batch)[..., None]
-        logits = model_registry.apply(params, x, self.cfg)
-        return decode.decode_mask(logits, self.cfg.num_classes)
+            mask = unet_fused.apply_fused_mask(params, u8_batch, self.cfg)
+        else:
+            x = preprocess.model_input_from_u8(u8_batch)[..., None]
+            logits = model_registry.apply(params, x, self.cfg)
+            mask = decode.decode_mask(logits, self.cfg.num_classes)
+        if self.device_postprocess:
+            import functools
+
+            from unetseg_tpu.ops import postprocess as device_post
+
+            on_tpu = jax.devices()[0].platform == "tpu"
+            mask = jax.vmap(functools.partial(
+                device_post.postprocess_mask, use_pallas_cc=on_tpu))(mask)
+        return mask
+
+    def cleanup_masks(self, masks) -> np.ndarray:
+        """Mask cleanup stage: identity when it already ran on device."""
+        if self.device_postprocess:
+            return np.asarray(masks)
+        return native.postprocess_batch(np.asarray(masks))
 
     def _use_fused(self) -> bool:
         """Route through the Pallas mega-kernel path (ops/fused_level.py)?
@@ -162,7 +184,7 @@ class InferenceEngine:
             from unetseg_tpu.parallel import tta
 
             self._compiled[key] = tta.make_tta_pipeline(
-                self.cfg, device_postprocess=False
+                self.cfg, device_postprocess=self.device_postprocess
             )
         return self._compiled[key](self.params, jnp.asarray(u8_2d))
 
@@ -178,7 +200,7 @@ class InferenceEngine:
 
             self._compiled[key] = tiles.make_tiled_pipeline(
                 self.cfg, window=window, overlap=overlap,
-                device_postprocess=False,
+                device_postprocess=self.device_postprocess,
             )
         return self._compiled[key](self.params, jnp.asarray(u8_2d))
 
@@ -194,8 +216,12 @@ def get_engine() -> Optional[InferenceEngine]:
     return _engine
 
 
-def initialize_engine(cache_path: str, log_dir: Optional[str] = None) -> bool:
-    """Load checkpoint, open log, set up compile cache, AOT-compile batch-1."""
+def initialize_engine(cache_path: str, log_dir: Optional[str] = None,
+                      device_postprocess: bool = False) -> bool:
+    """Load checkpoint, open log, set up compile cache, AOT-compile batch-1.
+
+    ``device_postprocess=True`` fuses the mask cleanup into the device
+    executable (all-device serving for host-poor deployments)."""
     global _engine
     try:
         if log_dir is None:
@@ -225,7 +251,7 @@ def initialize_engine(cache_path: str, log_dir: Optional[str] = None) -> bool:
             pass  # cache is an optimization, never fatal
 
         params, cfg = checkpoint.load(cache_path)
-        _engine = InferenceEngine(params, cfg)
+        _engine = InferenceEngine(params, cfg, device_postprocess)
         t0 = time.perf_counter()
         _engine.compile(1)
         compile_ms = int((time.perf_counter() - t0) * 1000)
@@ -362,7 +388,7 @@ def process_single_image(raw_path: str, width: int, height: int,
             mask = np.asarray(eng.infer(u8[None]))[0]
         inference_ms = int((time.perf_counter() - t_inf) * 1000)
         GLOBAL_LOG.write(f"Inference time: {inference_ms} ms")
-        mask = native.postprocess_batch(mask)
+        mask = eng.cleanup_masks(mask)
 
         # --- mask artifact (LUT vis; src/process.cpp:178-185,234-239) -----
         vis = np.asarray(decode.mask_to_image(mask))
@@ -411,7 +437,7 @@ def process_batch(raw_paths: List[str], width: int, height: int,
     def drain(entry):
         nonlocal n_ok, n_fail
         masks, u8s, metas = entry
-        masks = native.postprocess_batch(np.asarray(masks))
+        masks = eng.cleanup_masks(masks)
         for k, (path, out_dir) in enumerate(metas):
             try:
                 base = os.path.splitext(os.path.basename(path))[0]
