@@ -1,0 +1,88 @@
+"""TCP serving daemon: the REPL grammar over newline-delimited JSON."""
+
+import os
+
+import numpy as np
+import pytest
+
+from unetseg_tpu import checkpoint, engine, service
+from unetseg_tpu.config import ModelConfig
+from unetseg_tpu.io import raw as raw_io
+
+SMALL = ModelConfig(base_channels=8, depth=2, image_size=64,
+                    compute_dtype="float32")
+
+
+@pytest.fixture()
+def svc(tmp_path):
+    s = service.SegmentationService(port=0)  # ephemeral port
+    addr = s.start()
+    yield s, addr, tmp_path
+    s.stop()
+
+
+def _setup_data(tmp_path, n=3):
+    cache = tmp_path / "engine" / "model.ckpt"
+    cache.parent.mkdir()
+    checkpoint.create(str(cache), SMALL, seed=0)
+    rng = np.random.default_rng(0)
+    (tmp_path / "data").mkdir()
+    for i in range(n):
+        raw_io.write_raw(str(tmp_path / "data" / f"s{i}.raw"),
+                         rng.integers(0, 65536, (70, 90), np.uint16))
+    return str(cache)
+
+
+def test_service_end_to_end(svc):
+    s, addr, tmp_path = svc
+    cache = _setup_data(tmp_path)
+
+    r = service.request(addr, {"cmd": "status"})
+    assert r == {"ok": True, "initialized": False, "processed": 0,
+                 "device_postprocess": False}
+
+    # process before init -> clean error
+    r = service.request(addr, {"cmd": "process", "path": "x", "width": 1,
+                               "height": 1, "output_dir": "y"})
+    assert not r["ok"] and "not initialized" in r["error"]
+
+    assert service.request(addr, {"cmd": "init", "cache": cache})["ok"]
+
+    # single image
+    r = service.request(addr, {
+        "cmd": "process", "path": str(tmp_path / "data" / "s0.raw"),
+        "width": 90, "height": 70, "output_dir": str(tmp_path / "out1")})
+    assert r["ok"]
+    assert (tmp_path / "out1" / "s0_mask.png").exists()
+
+    # directory (batched path)
+    r = service.request(addr, {
+        "cmd": "process", "path": str(tmp_path / "data"),
+        "width": 90, "height": 70, "output_dir": str(tmp_path / "out2")})
+    assert r["ok"] and r["processed"] == 3 and r["failed"] == 0
+    for i in range(3):
+        assert (tmp_path / "out2" / f"s{i}_mask.png").exists()
+
+    r = service.request(addr, {"cmd": "status"})
+    assert r["initialized"] and r["processed"] == 4
+
+    # malformed + unknown commands -> errors, connection survives
+    r = service.request(addr, {"cmd": "frobnicate"})
+    assert not r["ok"] and "unknown cmd" in r["error"]
+    r = service.request(addr, {"cmd": "init"})
+    assert not r["ok"] and "requires 'cache'" in r["error"]
+    # missing file -> per-request failure, service stays up
+    r = service.request(addr, {"cmd": "process", "path": "/nope.raw",
+                               "width": 8, "height": 8,
+                               "output_dir": str(tmp_path)})
+    assert not r["ok"]
+    assert service.request(addr, {"cmd": "status"})["ok"]
+
+
+def test_service_shutdown(tmp_path):
+    s = service.SegmentationService(port=0)
+    addr = s.start()
+    r = service.request(addr, {"cmd": "shutdown"})
+    assert r["ok"] and r["shutdown"]
+    assert s._server.shutdown_requested
+    s.stop()

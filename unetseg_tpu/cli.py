@@ -168,6 +168,22 @@ def repl(stdin=None) -> int:
 
 
 def main() -> int:
+    """REPL by default; ``--serve [HOST:]PORT`` starts the TCP service
+    (unetseg_tpu/service.py), ``--device-post`` fuses mask cleanup on
+    device for the service."""
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--serve":
+        from unetseg_tpu import service
+
+        host, port = "127.0.0.1", 8473
+        if len(argv) > 1 and not argv[1].startswith("--"):
+            spec = argv[1]
+            host, _, p = spec.rpartition(":")
+            host = host or "127.0.0.1"
+            port = int(p)
+        service.serve(host, port,
+                      device_postprocess="--device-post" in argv)
+        return 0
     return repl()
 
 

@@ -1,0 +1,181 @@
+"""Long-lived serving daemon around the engine.
+
+The reference is a stdin-driven REPL (``/root/reference/src/main.cpp:62-199``)
+meant to be embedded; production deployments want a service.  This module
+exposes the same command surface over a TCP socket as newline-delimited
+JSON — one connection, many requests, engine state shared across
+connections (the reference's global g_runtime/g_engine analog):
+
+  {"cmd": "init", "cache": "/path/model.ckpt"}
+  {"cmd": "process", "path": "...", "width": W, "height": H,
+   "output_dir": "...", "recursive": false, "tta": false, "window": null}
+  {"cmd": "status"}
+  {"cmd": "shutdown"}
+
+Responses: {"ok": true, ...} or {"ok": false, "error": "..."}.  Per-image
+failures inside a directory request are counted, not fatal (parity with
+src/main.cpp:159-163).  Device work is serialized with a lock (one chip
+owner); artifact writing happens in the request thread.
+
+Start with ``python -m unetseg_tpu --serve [HOST:]PORT`` or
+:func:`serve` / :class:`SegmentationService` programmatically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import socketserver
+import threading
+from typing import Optional, Tuple
+
+from unetseg_tpu import engine
+from unetseg_tpu.io import raw as raw_io
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):  # one connection, many newline-delimited requests
+        srv: "SegmentationService" = self.server.service  # type: ignore
+        for line in self.rfile:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+                resp = srv.dispatch(req)
+            except Exception as e:  # malformed JSON / internal error
+                resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            self.wfile.write((json.dumps(resp) + "\n").encode())
+            self.wfile.flush()
+            if resp.get("shutdown"):
+                self.server.shutdown_requested = True  # type: ignore
+                return
+
+
+class _Server(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+class SegmentationService:
+    """Engine-backed request dispatcher + TCP server lifecycle."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 device_postprocess: bool = False):
+        self._lock = threading.Lock()   # the single device's owner
+        self._device_postprocess = device_postprocess
+        self._n_processed = 0
+        self._server = _Server((host, port), _Handler)
+        self._server.service = self  # type: ignore
+        self._server.shutdown_requested = False  # type: ignore
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self) -> Tuple[str, int]:
+        return self._server.server_address[:2]
+
+    # -- request dispatch ----------------------------------------------------
+
+    def dispatch(self, req: dict) -> dict:
+        cmd = req.get("cmd")
+        if cmd == "init":
+            return self._init(req)
+        if cmd == "process":
+            return self._process(req)
+        if cmd == "status":
+            eng = engine.get_engine()
+            return {"ok": True, "initialized": eng is not None,
+                    "processed": self._n_processed,
+                    "device_postprocess": self._device_postprocess}
+        if cmd == "shutdown":
+            return {"ok": True, "shutdown": True}
+        return {"ok": False, "error": f"unknown cmd: {cmd!r}"}
+
+    def _init(self, req: dict) -> dict:
+        cache = req.get("cache")
+        if not cache:
+            return {"ok": False, "error": "init requires 'cache'"}
+        with self._lock:
+            ok = engine.initialize_engine(
+                cache, device_postprocess=self._device_postprocess)
+        return {"ok": bool(ok)} if ok else \
+            {"ok": False, "error": f"initialization failed for {cache}"}
+
+    def _process(self, req: dict) -> dict:
+        if engine.get_engine() is None:
+            return {"ok": False, "error": "engine not initialized"}
+        try:
+            path = req["path"]
+            width = int(req["width"])
+            height = int(req["height"])
+            out_dir = req["output_dir"]
+        except KeyError as e:
+            return {"ok": False, "error": f"process requires {e.args[0]!r}"}
+        tta = bool(req.get("tta", False))
+        window = req.get("window")
+
+        with self._lock:
+            if os.path.isdir(path):
+                files = raw_io.find_16bit_images(
+                    path, recursive=bool(req.get("recursive", False)))
+                if not files:
+                    return {"ok": False, "error": f"no images under {path}"}
+                out_dirs = [
+                    os.path.join(out_dir,
+                                 os.path.relpath(os.path.dirname(f), path))
+                    for f in files
+                ]
+                n_ok, n_fail = engine.process_batch(
+                    files, width, height, out_dirs)
+                self._n_processed += n_ok
+                return {"ok": n_fail == 0, "processed": n_ok,
+                        "failed": n_fail}
+            ok = engine.process_single_image(
+                path, width, height, out_dir, tta=tta,
+                window=int(window) if window else None)
+            self._n_processed += int(ok)
+            return {"ok": bool(ok)} if ok else \
+                {"ok": False, "error": f"processing failed for {path}"}
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> Tuple[str, int]:
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self.address
+
+    def serve_until_shutdown(self, poll_s: float = 0.2) -> None:
+        import time
+
+        self.start()
+        while not self._server.shutdown_requested:  # type: ignore
+            time.sleep(poll_s)
+        self.stop()
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        engine.cleanup_resources()
+
+
+def serve(host: str = "127.0.0.1", port: int = 8473,
+          device_postprocess: bool = False) -> None:
+    """Blocking entry point (``python -m unetseg_tpu --serve``)."""
+    svc = SegmentationService(host, port, device_postprocess)
+    print(f"unetseg_tpu service listening on {svc.address[0]}:{svc.address[1]}")
+    svc.serve_until_shutdown()
+
+
+def request(addr: Tuple[str, int], req: dict, timeout: float = 300.0) -> dict:
+    """Tiny client: one request, one JSON response."""
+    with socket.create_connection(addr, timeout=timeout) as s:
+        s.sendall((json.dumps(req) + "\n").encode())
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+    return json.loads(buf.decode())
