@@ -72,3 +72,39 @@ def test_stage_timer_and_trace():
         pass
     t.reset()
     assert t.summary() == {}
+
+
+def test_run_study_host_preprocess_matches(tmp_path):
+    """host_preprocess=True ships bit-exact u8 (half the H2D bytes); masks
+    agree with the device-preprocess path."""
+    import numpy as np
+
+    from unetseg_tpu import checkpoint
+    from unetseg_tpu.config import ModelConfig
+    from unetseg_tpu.io import raw as raw_io
+    from unetseg_tpu.parallel import pipeline
+
+    cfg = ModelConfig(base_channels=8, depth=2, image_size=64,
+                      compute_dtype="float32")
+    import jax
+
+    params = jax.jit(
+        __import__("unetseg_tpu.models.registry", fromlist=["init"]).init,
+        static_argnums=(1,))(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"s{i}.raw"
+        raw_io.write_raw(str(p), rng.integers(0, 65536, (70, 90), np.uint16))
+        paths.append(str(p))
+
+    r0 = pipeline.run_study(params, cfg, paths, 90, 70, batch_size=2,
+                            keep_masks=True)
+    r1 = pipeline.run_study(params, cfg, paths, 90, 70, batch_size=2,
+                            keep_masks=True, host_preprocess=True)
+    # device f32 preprocess vs bit-exact host path: <=1 gray-level input
+    # differences; masks must agree to the IoU bar
+    a, b = r0.masks > 0, r1.masks > 0
+    union = np.logical_or(a, b).sum()
+    inter = np.logical_and(a, b).sum()
+    assert union == 0 or inter / union >= 0.999

@@ -41,23 +41,35 @@ class StudyResult:
     per_slice_latency_s: List[float] = field(default_factory=list)
 
 
-def _load_batch(paths: Sequence[str], width: int, height: int) -> np.ndarray:
-    return np.stack(
-        [np.asarray(raw_io.read_raw(p, width, height)) for p in paths]
-    )
+def _load_batch(paths: Sequence[str], width: int, height: int,
+                to_u8_size: Optional[int] = None) -> np.ndarray:
+    raws = [np.asarray(raw_io.read_raw(p, width, height)) for p in paths]
+    if to_u8_size is not None:
+        from unetseg_tpu.io import native
+
+        return np.stack([native.preprocess_u8(r, to_u8_size) for r in raws])
+    return np.stack(raws)
 
 
 @functools.lru_cache(maxsize=None)
-def _device_stage(cfg: ModelConfig):
+def _device_stage(cfg: ModelConfig, u8_input: bool = False):
     """One jitted device program per config — cached at module scope so
     repeated run_study / measure_p50_latency calls reuse the executable
     instead of re-jitting (and re-compiling, ~30 s through a tunneled
-    backend) every call."""
+    backend) every call.
+
+    ``u8_input=True`` takes already-preprocessed u8 slices (host bit-exact
+    path) — halves the host->device bytes, the binding resource on
+    PCIe/tunnel-constrained hosts (RESULTS_r2.md)."""
     size = cfg.image_size
 
     @jax.jit
     def device_stage(params, raws):
-        u8, x = preprocess.preprocess_batch(raws, size)
+        if u8_input:
+            u8 = raws
+            x = preprocess.model_input_from_u8(u8)[..., None]
+        else:
+            u8, x = preprocess.preprocess_batch(raws, size)
         logits = model_registry.apply(params, x, cfg)
         return u8, decode.decode_mask(logits, cfg.num_classes)
 
@@ -75,6 +87,7 @@ def run_study(
     loader_threads: int = 4,
     emitter_threads: Optional[int] = None,
     keep_masks: bool = False,
+    host_preprocess: bool = False,
 ) -> StudyResult:
     """Run a whole study (stack of same-sized slices) through the pipeline.
 
@@ -87,7 +100,11 @@ def run_study(
     size = cfg.image_size
     if emitter_threads is None:
         emitter_threads = loader_threads
-    device_stage = _device_stage(cfg)
+    # host_preprocess: run the bit-exact C++ resample+quantize in the loader
+    # threads and ship u8 — halves H2D bytes (2x study throughput where the
+    # host->device link binds) and makes the normalized artifact the
+    # reference's exact bytes.
+    device_stage = _device_stage(cfg, u8_input=host_preprocess)
 
     n = len(slice_paths)
     batches = [
@@ -103,7 +120,8 @@ def run_study(
         # stage A: prefetch all batch loads (bounded by the pool)
         loads = [
             loaders.submit(
-                _load_batch, [slice_paths[k] for k in idxs], width, height
+                _load_batch, [slice_paths[k] for k in idxs], width, height,
+                size if host_preprocess else None,
             )
             for idxs in batches
         ]
