@@ -119,7 +119,8 @@ def main() -> int:
             p = f"{td}/s{i:04d}.raw"
             raw_io.write_raw(p, raws_np[i % raws_np.shape[0]])
             paths.append(p)
-        res = ppl.run_study(params, cfg, paths, 512, 512, batch_size=32)
+        res = ppl.run_study(params, cfg, paths, 512, 512, batch_size=32,
+                            host_preprocess=True)
     report["c4_study_slices"] = n
     report["c4_study_slices_per_sec_e2e"] = round(res.slices_per_sec, 1)
     report["c4_study_wall_s"] = round(res.wall_s, 2)
