@@ -147,16 +147,13 @@ def test_batched_matches_serial(initialized_engine, tmp_path):
 
     for i in range(5):
         base = f"s_{i:03d}"
-        a = cv2.imread(str(serial_dir / f"{base}_mask.png"), cv2.IMREAD_GRAYSCALE)
-        b = cv2.imread(str(batch_dir / f"{base}_mask.png"), cv2.IMREAD_GRAYSCALE)
-        # device preprocess (f32) may differ from bit-exact host preprocess by
-        # <=1 gray level on a tiny pixel fraction; masks must still agree to
-        # IoU >= 0.999 (the BASELINE bar) — with random weights, usually equal.
-        inter = np.logical_and(a > 0, b > 0).sum()
-        union = np.logical_or(a > 0, b > 0).sum()
-        assert union == 0 or inter / union >= 0.999
-        for suffix in ("_normalized.png", "_original_sizes.json"):
-            assert (batch_dir / f"{base}{suffix}").exists()
+        # batch path now uses the same bit-exact host preprocess as the
+        # serial path: every artifact is byte-identical.
+        for suffix in ("_mask.png", "_normalized.png",
+                       "_original_sizes.json"):
+            sa = (serial_dir / f"{base}{suffix}").read_bytes()
+            sb = (batch_dir / f"{base}{suffix}").read_bytes()
+            assert sa == sb, f"{base}{suffix} differs between serial/batch"
 
         sj = (serial_dir / f"{base}.json")
         bj = (batch_dir / f"{base}.json")
