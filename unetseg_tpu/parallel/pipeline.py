@@ -170,22 +170,25 @@ def measure_p50_latency(params, cfg: ModelConfig, raw: np.ndarray,
                         width: int, height: int, iters: int = 20) -> float:
     """p50 single-slice RAW -> polygons latency (BASELINE metric 3).
 
-    Covers: device preprocess + UNet + decode, host cleanup + contour trace +
-    JSON bytes.  Excludes file I/O (the RAW is preloaded, artifacts are not
-    written) — the reference's timing likewise starts after the REPL parse.
+    Mirrors the engine's per-image flow (process_single_image): bit-exact
+    host preprocess -> u8 to device -> UNet+decode -> host cleanup ->
+    contour trace -> JSON bytes.  Excludes file I/O (the RAW is preloaded,
+    artifacts are not written) — the reference's timing likewise starts
+    after the REPL parse.
     """
     size = cfg.image_size
-    dev = _device_stage(cfg)
+    dev = _device_stage(cfg, u8_input=True)
 
-    raw1 = jnp.asarray(raw[None])
     # warmup/compile
-    u8, m = dev(params, raw1)
+    u8h = native.preprocess_u8(np.asarray(raw), size)
+    _, m = dev(params, jnp.asarray(u8h[None]))
     np.asarray(m)
 
     lat = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        u8, m = dev(params, raw1)
+        u8h = native.preprocess_u8(np.asarray(raw), size)
+        _, m = dev(params, jnp.asarray(u8h[None]))
         mask = native.postprocess_batch(np.asarray(m)[0])
         vis = np.where(mask == 2, 255, 0).astype(np.uint8)
         contours = native.extract_contours(vis)
