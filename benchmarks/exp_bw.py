@@ -1,7 +1,6 @@
 #!/usr/bin/env python
 """HBM bandwidth through different Pallas block modes (copy kernels)."""
 
-import functools
 import sys
 import time
 

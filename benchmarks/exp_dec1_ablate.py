@@ -1,7 +1,6 @@
 #!/usr/bin/env python
 """Localize dec1 kernel cost: masks / reshapes / up-GEMM / head."""
 
-import functools
 import sys
 import time
 

@@ -1,7 +1,6 @@
 #!/usr/bin/env python
 """Localize the fold2 kernel stall: ablate window shifts / dots / tile size."""
 
-import functools
 import sys
 import time
 

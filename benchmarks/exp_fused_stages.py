@@ -11,7 +11,7 @@ import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 
 from unetseg_tpu.config import ModelConfig
-from unetseg_tpu.models import unet, unet_fused
+from unetseg_tpu.models import unet
 from unetseg_tpu.ops.fused_level import (
     conv1_l_from_u8, dec1_head_fused, enc1_fused)
 
