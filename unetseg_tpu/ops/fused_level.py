@@ -113,7 +113,6 @@ def dec1_head_fused(z_pad: jax.Array, skip_pe: jax.Array,
     B, Hz2, Wz2, C2 = z_pad.shape
     Hz, Wz = Hz2 - 2, Wz2 - 2
     H, W2 = 2 * Hz, Wz          # output rows; folded output cols
-    C = C2 // 2
     assert skip_pe.shape == (B, H + 4, W2 + 2, C2), skip_pe.shape
 
     TR = tr
@@ -123,18 +122,9 @@ def dec1_head_fused(z_pad: jax.Array, skip_pe: jax.Array,
     dtype = z_pad.dtype
     wu_k, w1lo, w1hi, b1f, w2lo, w2hi, b2f, whm, bhm = _prep_dec1_weights(
         wu, bu, w1, b1, w2, b2, wh, bh, dtype)
-    # fold bu into b1: conv1 input = concat(skip, up + bu) =>
-    # conv1(x) = W1s*skip + W1u*up + W1u*(bu broadcast) + b1: a constant
-    # shift — but bu also feeds the RELU'd... up has no relu, so exact:
-    # bake bu into b1 via the conv1 weights summed over taps *only for
-    # in-image windows*.  Edges would be wrong, so instead add bu to the up
-    # planes... cheapest correct: add bu inside the kernel when building
-    # planes? The masked zeroing must then happen AFTER adding bu — which the
-    # kernel's `valid` mask already does (mask applied post-dot).  So we bake
-    # bu into the up GEMM by augmenting... simplest: pass bu via wu bias-add
-    # in-kernel.  We fold it here by appending a constant row to the GEMM:
-    # z_pad's zero-padding would corrupt it, so instead: planes += bu, done
-    # in-kernel before masking.  Implemented via b_up constant:
+    # The upsampler bias can't fold into b1 (SAME-pad windows at the image
+    # edge see fewer up taps), so the kernel adds it to the up planes BEFORE
+    # the validity mask zeroes the out-of-image positions.
     b_up = jnp.tile(bu, 2).reshape(1, 1, C2).astype(jnp.float32)
 
     kernel = functools.partial(
