@@ -86,3 +86,60 @@ def test_service_shutdown(tmp_path):
     assert r["ok"] and r["shutdown"]
     assert s._server.shutdown_requested
     s.stop()
+
+
+def test_service_concurrent_requests(tmp_path):
+    """Two clients hammering the service concurrently: the device lock
+    serializes work, every request gets a coherent response, and all
+    artifacts appear (race-safety, SURVEY §5)."""
+    import threading
+
+    s = service.SegmentationService(port=0)
+    addr = s.start()
+    try:
+        cache = _setup_data(tmp_path, n=4)
+        assert service.request(addr, {"cmd": "init", "cache": cache})["ok"]
+
+        results = {}
+
+        def worker(i):
+            results[i] = service.request(addr, {
+                "cmd": "process",
+                "path": str(tmp_path / "data" / f"s{i}.raw"),
+                "width": 90, "height": 70,
+                "output_dir": str(tmp_path / f"out{i}")})
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert all(results[i]["ok"] for i in range(4)), results
+        for i in range(4):
+            assert (tmp_path / f"out{i}" / f"s{i}_mask.png").exists()
+        assert service.request(addr, {"cmd": "status"})["processed"] == 4
+    finally:
+        s.stop()
+
+
+def test_cli_serve_arg_parsing(monkeypatch):
+    """--serve [HOST:]PORT and --device-post reach service.serve."""
+    import sys as _sys
+
+    from unetseg_tpu import cli, service as svc_mod
+
+    calls = {}
+    monkeypatch.setattr(
+        svc_mod, "serve",
+        lambda host, port, device_postprocess=False: calls.update(
+            host=host, port=port, dp=device_postprocess))
+    monkeypatch.setattr(_sys, "argv",
+                        ["unetseg_tpu", "--serve", "0.0.0.0:9000",
+                         "--device-post"])
+    assert cli.main() == 0
+    assert calls == {"host": "0.0.0.0", "port": 9000, "dp": True}
+
+    monkeypatch.setattr(_sys, "argv", ["unetseg_tpu", "--serve"])
+    assert cli.main() == 0
+    assert calls["port"] == 8473 and calls["host"] == "127.0.0.1"
