@@ -456,26 +456,37 @@ def process_batch(raw_paths: List[str], width: int, height: int,
                 print(f"Processing error: {e}")
                 n_fail += 1
 
-    for i in range(0, len(raw_paths), batch_size):
-        chunk = raw_paths[i: i + batch_size]
-        dirs = output_dirs[i: i + batch_size]
+    def load_chunk(chunk):
         # Bit-exact host preprocess (the serial path's C++ resample+quantize,
         # src/preprocess.cpp:76): batch artifacts are byte-identical to
-        # process_single_image's, and only u8 crosses to the device (half the
-        # H2D bytes, no u8 D2H round-trip).
+        # process_single_image's, and only u8 crosses to the device (half
+        # the H2D bytes, no u8 D2H round-trip).
         u8s = np.stack([
             native.preprocess_u8(
                 np.asarray(raw_io.read_raw(p, width, height)), eng.size)
             for p in chunk
         ])
-        if len(chunk) < batch_size:  # pad ragged tail: one compiled shape only
+        if len(chunk) < batch_size:  # pad ragged tail: one compiled shape
             pad = np.repeat(u8s[-1:], batch_size - len(chunk), axis=0)
             u8s = np.concatenate([u8s, pad], axis=0)
-        masks = eng.infer(u8s)  # async dispatch overlaps with host drain
-        pending.append((masks, u8s, list(zip(chunk, dirs))))
-        # double buffering: drain the previous batch while this one runs
-        if len(pending) > 1:
+        return u8s
+
+    chunks = [
+        (raw_paths[i: i + batch_size], output_dirs[i: i + batch_size])
+        for i in range(0, len(raw_paths), batch_size)
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as loaders:
+        # prefetch loads one batch ahead of the device
+        loads = [loaders.submit(load_chunk, chunk) for chunk, _ in chunks]
+        for (chunk, dirs), fut in zip(chunks, loads):
+            u8s = fut.result()
+            masks = eng.infer(u8s)  # async dispatch overlaps host drain
+            pending.append((masks, u8s, list(zip(chunk, dirs))))
+            # double buffering: drain the previous batch while this one runs
+            if len(pending) > 1:
+                drain(pending.pop(0))
+        while pending:
             drain(pending.pop(0))
-    while pending:
-        drain(pending.pop(0))
     return n_ok, n_fail
