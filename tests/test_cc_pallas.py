@@ -39,6 +39,23 @@ def test_spiral_worst_case():
     _check(fg)
 
 
+def test_serpentine_exceeds_fixed_pass_caps():
+    """A 1-px boustrophedon serpentine needs ~one pass per turn; at 128²
+    that is ~64 turns — proving the H+W default pass bound (not a fixed
+    cap) converges on the pathological family ADVICE r2 flagged."""
+    H = W = 128
+    fg = np.zeros((H, W), bool)
+    for r in range(0, H, 2):
+        fg[r, :] = True
+        if r + 1 < H:  # alternate the connecting column
+            col = W - 1 if (r // 2) % 2 == 0 else 0
+            fg[r + 1, col] = True
+    _check(fg)
+    # the whole serpentine is ONE component
+    lbl = np.asarray(cc_label_pallas(jnp.asarray(fg), interpret=True))
+    assert len(np.unique(lbl[fg])) == 1
+
+
 def test_degenerate_masks():
     _check(np.zeros((32, 32), bool))
     _check(np.ones((32, 32), bool))

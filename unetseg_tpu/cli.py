@@ -178,9 +178,16 @@ def main() -> int:
         host, port = "127.0.0.1", 8473
         if len(argv) > 1 and not argv[1].startswith("--"):
             spec = argv[1]
-            host, _, p = spec.rpartition(":")
+            host, sep, p = spec.rpartition(":")
+            if not sep:           # bare "PORT" (no colon)
+                host, p = "127.0.0.1", spec
             host = host or "127.0.0.1"
-            port = int(p)
+            try:
+                port = int(p)
+            except ValueError:
+                print(f"Error: invalid --serve address '{spec}' "
+                      "(expected [HOST:]PORT)", file=sys.stderr)
+                return 2
         service.serve(host, port,
                       device_postprocess="--device-post" in argv)
         return 0

@@ -38,9 +38,21 @@ class ModelConfig:
     # Rematerialize each conv stage in the backward pass (jax.checkpoint):
     # trades FLOPs for HBM so large-batch 512² training fits.
     remat: bool = False
-    # 3x3 conv implementation: "xla" (portable default, correctness oracle)
-    # or "pallas" (TPU production path, ops/pallas_conv.py).
+    # 3x3 conv implementation.  "xla" is the product default — measured
+    # fastest end-to-end (docs/PERFORMANCE.md).  The experimental_* alternates
+    # are kept for research/ablation and are all measured SLOWER in-model:
+    #   "experimental_pallas"   VMEM-accumulator kernel (ops/pallas_conv.py)
+    #   "experimental_winograd" F(2x2,3x3) (ops/winograd.py, retired)
+    #   "experimental_fused"    level mega-kernels (ops/fused_level.py)
     conv_impl: str = "xla"
+    # Space-to-depth stem factor (UNet only).  stem=2 rearranges the 512²x1
+    # input into 256²x4 before the first conv and emits logits through a
+    # subpixel (depth-to-space) head, eliminating every 512² internal tensor
+    # — the measured HBM-bandwidth bottleneck (docs/PERFORMANCE.md round 3).
+    # The serving I/O contract (512² in, 3-class 512² logits out,
+    # /root/reference/src/process.cpp:70,162) is unchanged.  stem=1 is the
+    # reference-faithful flagship geometry.
+    stem: int = 1
     # Model family: "unet" (the reference contract) or "unetpp" (nested
     # UNet++, models/unetpp.py).
     arch: str = "unet"

@@ -118,11 +118,13 @@ class InferenceEngine:
     def _use_fused(self) -> bool:
         """Route through the Pallas mega-kernel path (ops/fused_level.py)?
 
-        Opt-in via ModelConfig.conv_impl == "fused"; requires the flagship
-        geometry and a real TPU backend (the kernels are Mosaic programs;
-        CPU tests exercise them in interpret mode instead).
+        Opt-in via ModelConfig.conv_impl == "experimental_fused"; requires
+        the flagship geometry and a real TPU backend (the kernels are Mosaic
+        programs; CPU tests exercise them in interpret mode instead).
+        Experimental: measured slower than the XLA default end-to-end
+        (docs/PERFORMANCE.md round-2 section).
         """
-        if self.cfg.conv_impl != "fused":
+        if self.cfg.conv_impl != "experimental_fused":
             return False
         from unetseg_tpu.models import unet_fused
 
@@ -460,29 +462,47 @@ def process_batch(raw_paths: List[str], width: int, height: int,
         # Bit-exact host preprocess (the serial path's C++ resample+quantize,
         # src/preprocess.cpp:76): batch artifacts are byte-identical to
         # process_single_image's, and only u8 crosses to the device (half
-        # the H2D bytes, no u8 D2H round-trip).
-        u8s = np.stack([
+        # the H2D bytes, no u8 D2H round-trip).  A ragged tail stays ragged:
+        # infer() compiles a tail-size executable (cached persistently), so
+        # a 33-file directory runs 32+1, not 32+32.
+        return np.stack([
             native.preprocess_u8(
                 np.asarray(raw_io.read_raw(p, width, height)), eng.size)
             for p in chunk
         ])
-        if len(chunk) < batch_size:  # pad ragged tail: one compiled shape
-            pad = np.repeat(u8s[-1:], batch_size - len(chunk), axis=0)
-            u8s = np.concatenate([u8s, pad], axis=0)
-        return u8s
 
     chunks = [
         (raw_paths[i: i + batch_size], output_dirs[i: i + batch_size])
         for i in range(0, len(raw_paths), batch_size)
     ]
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as loaders:
-        # prefetch loads one batch ahead of the device
-        loads = [loaders.submit(load_chunk, chunk) for chunk, _ in chunks]
-        for (chunk, dirs), fut in zip(chunks, loads):
+        # Prefetch at most 2 chunks ahead of the device consumer — lazily
+        # submitted so completed u8 batches never accumulate unboundedly
+        # (peak host memory stays O(batch), not O(study)).
+        loads: deque = deque()
+        next_i = 0
+
+        def top_up():
+            nonlocal next_i
+            while next_i < len(chunks) and len(loads) < 2:
+                chunk, dirs = chunks[next_i]
+                loads.append((chunk, dirs, loaders.submit(load_chunk, chunk)))
+                next_i += 1
+
+        top_up()
+        while loads:
+            chunk, dirs, fut = loads.popleft()
             u8s = fut.result()
+            top_up()
+            t_inf = time.perf_counter()
             masks = eng.infer(u8s)  # async dispatch overlaps host drain
+            GLOBAL_LOG.record(
+                event="batch", n=len(chunk),
+                dispatch_ms=round((time.perf_counter() - t_inf) * 1e3, 3),
+            )
             pending.append((masks, u8s, list(zip(chunk, dirs))))
             # double buffering: drain the previous batch while this one runs
             if len(pending) > 1:

@@ -78,17 +78,18 @@ def _conv_transpose(x, p, *, stride=2, dtype):
 def _conv3x3_relu(x, p, *, dtype, impl="xla"):
     """Fused 3x3 conv + bias + ReLU.
 
-    impl: "xla" (portable default), "pallas" (VMEM-accumulator kernel), or
-    "winograd" (F(2x2,3x3), 2.25x MAC reduction — the production TPU path,
-    see ops/winograd.py and docs/PERFORMANCE.md).
+    impl: "xla" (the product default — measured fastest end-to-end),
+    "experimental_pallas" (VMEM-accumulator kernel, loses in-model), or
+    "experimental_winograd" (F(2x2,3x3), retired research path — see
+    docs/PERFORMANCE.md for the measurements behind the demotion).
     """
-    if impl == "pallas":
+    if impl == "experimental_pallas":
         from unetseg_tpu.ops.pallas_conv import conv3x3_bias_act
 
         return conv3x3_bias_act(
             x.astype(dtype), p["w"].astype(dtype), p["b"].astype(dtype)
         )
-    if impl == "winograd":
+    if impl == "experimental_winograd":
         from unetseg_tpu.ops.winograd import conv3x3_winograd
 
         return conv3x3_winograd(
@@ -120,6 +121,20 @@ def stage_channels(cfg: ModelConfig) -> Sequence[int]:
     return tuple(cfg.base_channels * (2**i) for i in range(cfg.depth))
 
 
+def _space_to_depth(x: jax.Array, r: int) -> jax.Array:
+    """(N, H, W, C) -> (N, H/r, W/r, r*r*C) block rearrangement."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // r, r, w // r, r, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // r, w // r, r * r * c)
+
+
+def _depth_to_space(x: jax.Array, r: int) -> jax.Array:
+    """(N, H, W, r*r*C) -> (N, H*r, W*r, C), inverse of _space_to_depth."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h, w, r, r, c // (r * r))
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * r, w * r, c // (r * r))
+
+
 def init(rng: jax.Array, cfg: ModelConfig = ModelConfig()) -> Params:
     """Build the UNet parameter pytree (float32)."""
     chans = stage_channels(cfg)
@@ -128,7 +143,7 @@ def init(rng: jax.Array, cfg: ModelConfig = ModelConfig()) -> Params:
     keys = iter(jax.random.split(rng, n_keys * 2))
 
     params: Params = {"encoder": [], "decoder": []}
-    cin = cfg.in_channels
+    cin = cfg.in_channels * cfg.stem * cfg.stem
     for cout in chans:
         params["encoder"].append(
             {
@@ -154,7 +169,9 @@ def init(rng: jax.Array, cfg: ModelConfig = ModelConfig()) -> Params:
         )
         cin = cout
 
-    params["head"] = _conv_init(next(keys), 1, 1, chans[0], cfg.num_classes)
+    params["head"] = _conv_init(
+        next(keys), 1, 1, chans[0], cfg.num_classes * cfg.stem * cfg.stem
+    )
     return params
 
 
@@ -177,6 +194,11 @@ def apply(params: Params, x: jax.Array, cfg: ModelConfig = ModelConfig()) -> jax
     dtype = jnp.dtype(cfg.compute_dtype)
     impl = cfg.conv_impl
     x = x.astype(dtype)
+    if cfg.stem > 1:
+        # Slim-flagship stem: all internal tensors live at (H/stem, W/stem);
+        # the subpixel head below restores full resolution.  I/O contract
+        # (512² in, num_classes 512² logits out) is unchanged.
+        x = _space_to_depth(x, cfg.stem)
 
     def enc_stage(x, stage):
         return _double_conv(x, stage, dtype=dtype, impl=impl)
@@ -203,6 +225,8 @@ def apply(params: Params, x: jax.Array, cfg: ModelConfig = ModelConfig()) -> jax
         x = dec_stage(x, skip, stage)
 
     logits = _conv(x, params["head"], dtype=dtype)
+    if cfg.stem > 1:
+        logits = _depth_to_space(logits, cfg.stem)  # learned subpixel upsample
     return logits.astype(jnp.float32)
 
 

@@ -15,10 +15,13 @@ Numerics match models/unet.apply + ops/decode.decode_mask to bf16 tolerance
 mask agreement is asserted in tests/test_fused_level.py and the engine's
 parity suite.
 
-Used when ``ModelConfig.conv_impl == "fused"`` (the TPU serving default is
-selected in engine.py).  Only the flagship geometry is supported: depth 4,
-512², base 64 — the shapes the reference contract fixes
-(/root/reference/src/process.cpp:70).
+Used when ``ModelConfig.conv_impl == "experimental_fused"`` — an **experimental opt-in**,
+not the serving default: measured end-to-end it loses to the XLA path
+(131 vs 99 ms/batch-32; the operand-assembly tax, docs/PERFORMANCE.md
+round-2 section), so ``config.py`` defaults to ``conv_impl="xla"`` and the
+engine only routes here when explicitly configured.  Only the flagship
+geometry is supported: depth 4, 512², base 64 — the shapes the reference
+contract fixes (/root/reference/src/process.cpp:70).
 """
 
 from __future__ import annotations

@@ -43,6 +43,8 @@ def _node_in_channels(cfg: ModelConfig, i: int, j: int) -> int:
 
 
 def init(rng: jax.Array, cfg: ModelConfig = ModelConfig(arch="unetpp")) -> Params:
+    if cfg.stem != 1:
+        raise ValueError("ModelConfig.stem is only supported by arch='unet'")
     chans = [cfg.base_channels * (2**i) for i in range(cfg.depth + 1)]
     keys = iter(jax.random.split(rng, 4 * (cfg.depth + 1) ** 2 + 8))
 

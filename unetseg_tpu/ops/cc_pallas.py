@@ -120,17 +120,23 @@ def _cc_kernel(lbl_ref, out_ref, lbl_s, val_s, run_s, *, H, W, max_passes):
 
 
 @functools.partial(jax.jit, static_argnames=("max_passes", "interpret"))
-def cc_label_pallas(fg: jax.Array, *, max_passes: int = 256,
+def cc_label_pallas(fg: jax.Array, *, max_passes: int | None = None,
                     interpret: bool = False) -> jax.Array:
     """(H, W) or (B, H, W) bool -> int32 root labels (cc.cc_label contract).
 
-    ``max_passes`` bounds convergence for pathological shapes (each pass
-    resolves one shape "turn"); typical organ masks need 2-4.
+    ``max_passes`` bounds convergence for pathological shapes; each pass
+    resolves one geodesic "turn", so the worst realizable case (a 1-px
+    boustrophedon serpentine / spiral) needs on the order of H or W passes.
+    The default ``H + W`` covers that with margin; typical organ masks
+    converge in 2-4 passes and the while_loop exits on stability, so the
+    bound costs nothing in the common case.
     """
     squeeze = fg.ndim == 2
     if squeeze:
         fg = fg[None]
     B, H, W = fg.shape
+    if max_passes is None:
+        max_passes = H + W
     sentinel = H * W
     idx = (lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
            + lax.broadcasted_iota(jnp.int32, (H, W), 1))

@@ -19,7 +19,7 @@ Structure:
   * taps are static sub-slices of the VMEM band, so the 9 matmuls read VMEM
     only.
 
-Used by models/unet.py when ``ModelConfig.conv_impl == "pallas"`` (the TPU
+Used by models/unet.py when ``ModelConfig.conv_impl == "experimental_pallas"`` (a measured-slower (in-model)
 production path); the XLA conv remains the portable default and the
 correctness oracle (tests/test_pallas_conv.py).
 """

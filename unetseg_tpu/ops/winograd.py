@@ -24,7 +24,8 @@ dtype (bf16 default).  Max deviation vs the direct conv is at the bf16
 noise level (verified in tests/test_winograd.py); argmax masks are expected
 to match the direct path at IoU >= 0.999.
 
-Enabled with ``ModelConfig(conv_impl="winograd")``.
+Enabled with ``ModelConfig(conv_impl="experimental_winograd")`` — an experimental,
+measured-slower research path (docs/PERFORMANCE.md); the product default is "xla".
 """
 
 from __future__ import annotations
