@@ -40,15 +40,27 @@ def main() -> int:
     from unetseg_tpu.config import ModelConfig
     from unetseg_tpu.data import synth_batch, synth_slice
     from unetseg_tpu.io import native, raw as raw_io
-    from unetseg_tpu.models import unet
+    from unetseg_tpu.models import registry as model_registry, unet
     from unetseg_tpu.ops import decode, preprocess
     from unetseg_tpu.parallel import pipeline as ppl
     from unetseg_tpu.parallel import tiles, tta
 
-    cfg = ModelConfig()
-    params = unet.init(jax.random.key(0), cfg)
+    # Serving checkpoint (slim flagship) when present; random flagship
+    # geometry otherwise — same policy as bench.py.
+    slim = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "models", "flagship_slim.ckpt")
+    if os.path.exists(slim):
+        from unetseg_tpu import checkpoint
+
+        params, cfg = checkpoint.load(slim)
+        params = jax.device_put(params)
+        ckpt_name = "slim"
+    else:
+        cfg = ModelConfig()
+        params = unet.init(jax.random.key(0), cfg)
+        ckpt_name = "random-init"
     rng = np.random.default_rng(0)
-    report = {"device": str(jax.devices()[0])}
+    report = {"device": str(jax.devices()[0]), "checkpoint": ckpt_name}
 
     def sync(x):
         return float(np.asarray(x).ravel()[0])
@@ -67,7 +79,7 @@ def main() -> int:
     @jax.jit
     def dev(params, raws):
         u8, x = preprocess.preprocess_batch(raws, 512)
-        return decode.decode_mask(unet.apply(params, x, cfg), 3)
+        return decode.decode_mask(model_registry.apply(params, x, cfg), 3)
 
     raws_dev = jnp.asarray(raws)  # upload once; batches stay resident
     m = dev(params, raws_dev)
@@ -109,6 +121,23 @@ def main() -> int:
     dt = (time.perf_counter() - t0) / 5
     report["c3_1024_tile_sliding_window_ms"] = round(dt * 1000, 1)
     report["c3_equivalent_512_slices_per_sec"] = round(4 / dt, 1)
+
+    # batched variant: 8 tiles of 1024² as ONE program (all 72 windows in a
+    # single model batch, vmapped blend) — the dispatch/underfill fix
+    big8 = np.stack([big] * 8)
+    big8[1:, :512, 512:] = synth_slice(rng, 512)[0]
+    fnb = tiles.make_tiled_batch_pipeline(cfg, window=512, overlap=128,
+                                          device_postprocess=False)
+    u8big8 = jnp.asarray((big8 >> 8).astype(np.uint8))
+    out = fnb(params, u8big8)
+    sync1(out)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = fnb(params, u8big8)
+    sync1(out)
+    dtb = (time.perf_counter() - t0) / 5
+    report["c3_batched8_ms"] = round(dtb * 1000, 1)
+    report["c3_batched_equivalent_512_slices_per_sec"] = round(8 * 4 / dtb, 1)
 
     # ---- config 4: full study throughput ---------------------------------
     n = args.slices

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Distill the slim flagship (s2d2 stem, 1110 slices/s measured) from the
+"""Distill the slim flagship (s2d2 stem, >1200 slices/s measured) from the
 512² flagship teacher (VERDICT r2 item 2).
 
 The serving contract fixes only the I/O (1x512x512 u8 in -> 3-class mask,
@@ -9,10 +9,15 @@ measured HBM-bandwidth bottleneck was the 512² levels — and is trained here
 with hard labels + KL distillation against models/flagship_synth.ckpt so its
 masks agree with the teacher's to >=0.999 IoU.
 
+The whole dataset (u8 slices, labels, teacher logits in f16) lives on
+device: through the dev tunnel H2D runs at ~0.04 GB/s, so per-step batch
+shipping would dominate; instead each jitted step gathers its batch from
+device-resident tensors by an 8-int index vector.
+
 Produces ``models/flagship_slim.ckpt`` (float16 params, serve config) and
 prints val fg-IoU (vs labels) and mask agreement (vs teacher).
 
-Usage: python benchmarks/train_slim.py [steps] [n_train]
+Usage: python benchmarks/train_slim.py [steps] [n_train] [depth]
 """
 
 import functools
@@ -29,81 +34,102 @@ TEACHER = os.path.join(REPO, "models", "flagship_synth.ckpt")
 OUT = os.path.join(REPO, "models", "flagship_slim.ckpt")
 
 
+def gen_u8(rng, n):
+    """n synthetic slices as serving-distribution u8 + labels."""
+    from unetseg_tpu import data
+    from unetseg_tpu.ops.preprocess import preprocess_oracle_u8
+
+    imgs = np.empty((n, 512, 512), np.uint8)
+    labels = np.empty((n, 512, 512), np.uint8)
+    for i in range(n):
+        raw, lab = data.synth_slice(rng, 512)
+        imgs[i] = preprocess_oracle_u8(raw, 512)
+        labels[i] = lab
+    return imgs, labels
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    from unetseg_tpu import checkpoint, data, metrics, train
+    from unetseg_tpu import checkpoint, metrics, train
     from unetseg_tpu.config import ModelConfig
     from unetseg_tpu.models import registry as model_registry
 
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 800
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
     n_train = int(sys.argv[2]) if len(sys.argv) > 2 else 192
+    depth = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     batch = 8
 
     t_params, t_cfg = checkpoint.load(TEACHER)
     t_params = jax.device_put(t_params)
 
-    cfg = ModelConfig(stem=2)  # variant D of benchmarks/exp_slim_arch.py
+    cfg = ModelConfig(stem=2, depth=depth)  # variant C/D of exp_slim_arch.py
     tx = train.make_optimizer(lr=3e-4, total_steps=steps)
     state = train.init_state(jax.random.key(0), cfg, tx)
 
     rng = np.random.default_rng(42)
     t0 = time.time()
-    imgs, labels = data.training_batch(rng, n_train)
+    imgs_h, labels_h = gen_u8(rng, n_train)
     print(f"data gen: {time.time()-t0:.1f}s for {n_train} slices", flush=True)
 
-    # Precompute teacher logits once (f16 on host: n_train * 3 MB).
+    t0 = time.time()
+    imgs = jax.device_put(imgs_h)      # (n, 512, 512) u8, device-resident
+    labels = jax.device_put(labels_h)
+    print(f"H2D dataset: {time.time()-t0:.1f}s", flush=True)
+
+    # Teacher logits computed and KEPT on device (f16): no tunnel round trip.
     @jax.jit
-    def teacher_fwd(p, x):
-        return model_registry.apply(p, x, t_cfg)
+    def teacher_fwd(p, u8):
+        x = u8.astype(jnp.float32)[..., None] / 255.0
+        return model_registry.apply(p, x, t_cfg).astype(jnp.bfloat16)
 
     t0 = time.time()
-    t_logits = np.empty((n_train, 512, 512, 3), np.float16)
-    for i in range(0, n_train, 16):
-        t_logits[i:i + 16] = np.asarray(
-            teacher_fwd(t_params, jnp.asarray(imgs[i:i + 16])), np.float16)
+    t_logits = jnp.concatenate([
+        teacher_fwd(t_params, imgs[i:i + 16]) for i in range(0, n_train, 16)
+    ])
+    _ = int(t_logits[0, 0, 0, 0] != 0)  # sync (block_until_ready unreliable here)
     print(f"teacher logits: {time.time()-t0:.1f}s", flush=True)
 
-    step_fn = jax.jit(
-        functools.partial(train.distill_step, cfg=cfg, tx=tx,
-                          alpha=0.5, temperature=2.0),
-        donate_argnums=(0,),
-    )
+    def step_fn(state, idx, imgs, labels, t_logits):
+        bi = jnp.take(imgs, idx, axis=0).astype(jnp.float32)[..., None] / 255.0
+        bl = jnp.take(labels, idx, axis=0).astype(jnp.int32)
+        bt = jnp.take(t_logits, idx, axis=0).astype(jnp.float32)
+        return train.distill_step(state, (bi, bl, bt), cfg=cfg, tx=tx,
+                                  alpha=0.5, temperature=2.0)
+
+    step_jit = jax.jit(step_fn, donate_argnums=(0,))
 
     order = np.arange(n_train)
     t0 = time.time()
     for s in range(steps):
-        if s % (n_train // batch) == 0:
+        if (s * batch) % n_train == 0:
             rng.shuffle(order)
-        idx = order[(s * batch) % n_train:(s * batch) % n_train + batch]
-        b = (jnp.asarray(imgs[idx]), jnp.asarray(labels[idx]),
-             jnp.asarray(t_logits[idx], jnp.float32))
-        state, loss = step_fn(state, b)
-        if s % 50 == 0 or s == steps - 1:
+        idx = jnp.asarray(order[(s * batch) % n_train:(s * batch) % n_train + batch])
+        state, loss = step_jit(state, idx, imgs, labels, t_logits)
+        if s % 100 == 0 or s == steps - 1:
             print(f"step {s:4d} loss {float(loss):.4f} "
                   f"({(time.time()-t0)/(s+1)*1e3:.0f} ms/step)", flush=True)
 
     # --- held-out evaluation: fg IoU vs labels, agreement vs teacher -------
     val_rng = np.random.default_rng(1234)
-    vi, vl = data.training_batch(val_rng, 32)
+    vi_h, vl_h = gen_u8(val_rng, 32)
+    vi = jax.device_put(vi_h)
 
-    @jax.jit
-    def predict(params, x, c):
-        return jnp.argmax(model_registry.apply(params, x, c),
-                          axis=-1).astype(jnp.uint8)
+    def predict(c):
+        @jax.jit
+        def f(p, u8):
+            x = u8.astype(jnp.float32)[..., None] / 255.0
+            return jnp.argmax(model_registry.apply(p, x, c),
+                              axis=-1).astype(jnp.uint8)
+        return f
 
-    predict_s = jax.jit(lambda p, x: jnp.argmax(
-        model_registry.apply(p, x, cfg), axis=-1).astype(jnp.uint8))
-    predict_t = jax.jit(lambda p, x: jnp.argmax(
-        model_registry.apply(p, x, t_cfg), axis=-1).astype(jnp.uint8))
-
-    ps = np.asarray(predict_s(state.params, jnp.asarray(vi)))
-    pt = np.asarray(predict_t(t_params, jnp.asarray(vi)))
+    ps = np.asarray(predict(cfg)(state.params, vi))
+    pt = np.asarray(predict(t_cfg)(t_params, vi))
     fg_iou = float(np.mean([
-        metrics.foreground_iou(ps[i], vl[i]) for i in range(len(vl))]))
+        metrics.foreground_iou(ps[i], vl_h[i]) for i in range(len(vl_h))]))
     agree = float(np.mean([
-        metrics.foreground_iou(ps[i], pt[i]) for i in range(len(vl))]))
+        metrics.foreground_iou(ps[i], pt[i]) for i in range(len(vl_h))]))
     pix_agree = float(np.mean(ps == pt))
     print(f"val fg IoU vs labels:   {fg_iou:.5f}")
     print(f"fg IoU vs teacher mask: {agree:.5f}")
@@ -111,7 +137,7 @@ def main():
 
     params_f16 = jax.tree_util.tree_map(
         lambda a: np.asarray(a, np.float16), jax.device_get(state.params))
-    checkpoint.save(OUT, params_f16, cfg)
+    checkpoint.save(OUT, params_f16, ModelConfig(stem=2, depth=depth))
     print(f"saved {OUT} ({os.path.getsize(OUT)/1e6:.1f} MB)")
 
 

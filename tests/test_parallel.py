@@ -88,6 +88,29 @@ def test_sliding_window_large_image(params):
     assert set(np.unique(got)).issubset({0, 2})
 
 
+def test_tiled_batch_matches_per_image(params):
+    """The batched tiled program (one flat window batch + vmapped blend)
+    must reproduce the per-image tiled pipeline exactly."""
+    rng = np.random.default_rng(5)
+    u8b = rng.integers(0, 256, size=(3, 128, 128), dtype=np.uint8)
+    single = tiles.make_tiled_pipeline(SMALL, window=64, overlap=32,
+                                       device_postprocess=False)
+    batched = tiles.make_tiled_batch_pipeline(SMALL, window=64, overlap=32,
+                                              device_postprocess=False)
+    got = np.asarray(batched(params, jnp.asarray(u8b)))
+    assert got.shape == (3, 128, 128)
+    for i in range(3):
+        want = np.asarray(single(params, jnp.asarray(u8b[i])))
+        np.testing.assert_array_equal(got[i], want)
+
+    # sharded variant agrees too
+    mesh = pmesh.make_mesh(8)
+    batched_sh = tiles.make_tiled_batch_pipeline(
+        SMALL, window=64, overlap=32, mesh=mesh, device_postprocess=False)
+    got_sh = np.asarray(batched_sh(params, jnp.asarray(u8b)))
+    np.testing.assert_array_equal(got_sh, got)
+
+
 def test_window_grid():
     assert tiles.window_grid(128, 64, 32) == [0, 32, 64]
     assert tiles.window_grid(100, 64, 32) == [0, 32, 36]

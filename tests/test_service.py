@@ -39,7 +39,7 @@ def test_service_end_to_end(svc):
 
     r = service.request(addr, {"cmd": "status"})
     assert r == {"ok": True, "initialized": False, "processed": 0,
-                 "device_postprocess": False}
+                 "device_postprocess": False, "draining": False}
 
     # process before init -> clean error
     r = service.request(addr, {"cmd": "process", "path": "x", "width": 1,
@@ -123,6 +123,80 @@ def test_service_concurrent_requests(tmp_path):
         s.stop()
 
 
+def test_service_shutdown_races_inflight_request(tmp_path):
+    """Shutdown arriving on one connection while another connection has a
+    process in flight: the in-flight request completes with a full response
+    and its artifacts, new work is rejected with 'shutting down', and stop()
+    does not tear the engine down under the running request."""
+    import threading
+    import time
+
+    s = service.SegmentationService(port=0)
+    addr = s.start()
+    try:
+        cache = _setup_data(tmp_path, n=4)
+        assert service.request(addr, {"cmd": "init", "cache": cache})["ok"]
+
+        inflight = {}
+
+        def long_request():
+            inflight["resp"] = service.request(addr, {
+                "cmd": "process", "path": str(tmp_path / "data"),
+                "width": 90, "height": 70,
+                "output_dir": str(tmp_path / "race_out")})
+
+        t = threading.Thread(target=long_request)
+        t.start()
+        time.sleep(0.3)  # let the directory request take the device lock
+        r = service.request(addr, {"cmd": "shutdown"})
+        assert r["ok"] and r["shutdown"]
+        assert s._server.shutdown_requested
+
+        # new work is refused while draining
+        r = service.request(addr, {
+            "cmd": "process", "path": str(tmp_path / "data" / "s0.raw"),
+            "width": 90, "height": 70, "output_dir": str(tmp_path)})
+        assert not r["ok"] and "shutting down" in r["error"]
+
+        t.join(timeout=300)
+        assert inflight["resp"]["ok"], inflight
+        assert inflight["resp"]["processed"] == 4
+        for i in range(4):
+            assert (tmp_path / "race_out" / f"s{i}_mask.png").exists()
+    finally:
+        s.stop()
+
+
+def test_service_request_timeout(svc):
+    s, addr, tmp_path = svc
+    cache = _setup_data(tmp_path, n=1)
+    assert service.request(addr, {"cmd": "init", "cache": cache})["ok"]
+    r = service.request(addr, {
+        "cmd": "process", "path": str(tmp_path / "data" / "s0.raw"),
+        "width": 90, "height": 70, "output_dir": str(tmp_path / "t_out"),
+        "timeout_s": 1e-4})
+    assert not r["ok"] and "timed out" in r["error"]
+    # service stays healthy; the detached work still serializes on the lock
+    assert service.request(addr, {"cmd": "status"})["ok"]
+
+
+def test_service_metrics_endpoint(svc):
+    s, addr, tmp_path = svc
+    cache = _setup_data(tmp_path, n=2)
+    assert service.request(addr, {"cmd": "init", "cache": cache})["ok"]
+    for i in range(2):
+        assert service.request(addr, {
+            "cmd": "process", "path": str(tmp_path / "data" / f"s{i}.raw"),
+            "width": 90, "height": 70,
+            "output_dir": str(tmp_path / "m_out")})["ok"]
+    r = service.request(addr, {"cmd": "metrics", "n": 10})
+    assert r["ok"]
+    events = [rec["event"] for rec in r["records"]]
+    assert "init" in events and events.count("image") == 2
+    img = [rec for rec in r["records"] if rec["event"] == "image"][-1]
+    assert "inference_ms" in img and "total_ms" in img
+
+
 def test_cli_serve_arg_parsing(monkeypatch):
     """--serve [HOST:]PORT and --device-post reach service.serve."""
     import sys as _sys
@@ -132,13 +206,16 @@ def test_cli_serve_arg_parsing(monkeypatch):
     calls = {}
     monkeypatch.setattr(
         svc_mod, "serve",
-        lambda host, port, device_postprocess=False: calls.update(
-            host=host, port=port, dp=device_postprocess))
+        lambda host, port, device_postprocess=False,
+        request_timeout_s=None: calls.update(
+            host=host, port=port, dp=device_postprocess,
+            timeout=request_timeout_s))
     monkeypatch.setattr(_sys, "argv",
                         ["unetseg_tpu", "--serve", "0.0.0.0:9000",
                          "--device-post"])
     assert cli.main() == 0
-    assert calls == {"host": "0.0.0.0", "port": 9000, "dp": True}
+    assert calls == {"host": "0.0.0.0", "port": 9000, "dp": True,
+                     "timeout": None}
 
     monkeypatch.setattr(_sys, "argv", ["unetseg_tpu", "--serve"])
     assert cli.main() == 0

@@ -73,3 +73,66 @@ def test_train_then_serve(tmp_path):
         assert ys.min() - 8 <= cy <= ys.max() + 8
     finally:
         engine.cleanup_resources()
+
+
+def test_distill_slim_then_serve(tmp_path):
+    """The slim-flagship production recipe in miniature: train a teacher,
+    distill a stem=2 student against it (train.distill_step), check mask
+    agreement, serve the student checkpoint through the engine."""
+    import jax.numpy as jnp
+
+    from unetseg_tpu.models import registry as model_registry
+    from unetseg_tpu.ops import decode
+
+    rng = np.random.default_rng(1)
+
+    # quick teacher
+    tx = train.make_optimizer(lr=1e-2, total_steps=120)
+    t_state = train.init_state(jax.random.key(0), CFG, tx)
+    t_step = jax.jit(
+        lambda s, b: train.train_step(s, b, CFG, tx), donate_argnums=(0,)
+    )
+    for _ in range(120):
+        imgs, labels = training_batch(rng, 8, size=64)
+        t_state, _ = t_step(t_state, (imgs, labels))
+
+    # distilled stem=2 student
+    s_cfg = ModelConfig(base_channels=8, depth=2, image_size=64,
+                        compute_dtype="float32", stem=2)
+    s_tx = train.make_optimizer(lr=1e-2, total_steps=150)
+    s_state = train.init_state(jax.random.key(1), s_cfg, s_tx)
+    s_step = jax.jit(
+        lambda s, b: train.distill_step(s, b, s_cfg, s_tx),
+        donate_argnums=(0,),
+    )
+    teacher_fwd = jax.jit(lambda p, x: model_registry.apply(p, x, CFG))
+    for _ in range(150):
+        imgs, labels = training_batch(rng, 8, size=64)
+        t_logits = teacher_fwd(t_state.params, imgs)
+        s_state, loss = s_step(s_state, (jnp.asarray(imgs),
+                                         jnp.asarray(labels), t_logits))
+    assert np.isfinite(float(loss))
+
+    # student/teacher mask agreement on held-out slices
+    imgs, _ = training_batch(rng, 8, size=64)
+    t_pred = np.asarray(decode.decode_mask(
+        teacher_fwd(t_state.params, imgs), 3))
+    s_pred = np.asarray(decode.decode_mask(
+        model_registry.apply(s_state.params, imgs, s_cfg), 3))
+    agree = _iou(s_pred == 2, t_pred == 2)
+    assert agree > 0.9, agree  # tiny nets + 150 steps: loose gate
+
+    # serve the student checkpoint through the full engine
+    cache = tmp_path / "eng" / "slim.ckpt"
+    cache.parent.mkdir(parents=True)
+    checkpoint.save(str(cache), s_state.params, s_cfg)
+    assert engine.initialize_engine(str(cache))
+    try:
+        raw, _ = synth_slice(rng, 64)
+        raw_io.write_raw(str(tmp_path / "slim_case.raw"), raw)
+        out = tmp_path / "out_slim"
+        assert engine.process_single_image(str(tmp_path / "slim_case.raw"),
+                                           64, 64, str(out))
+        assert (out / "slim_case_mask.png").exists()
+    finally:
+        engine.cleanup_resources()

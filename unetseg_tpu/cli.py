@@ -170,7 +170,7 @@ def repl(stdin=None) -> int:
 def main() -> int:
     """REPL by default; ``--serve [HOST:]PORT`` starts the TCP service
     (unetseg_tpu/service.py), ``--device-post`` fuses mask cleanup on
-    device for the service."""
+    device for the service, ``--timeout S`` bounds each process request."""
     argv = sys.argv[1:]
     if argv and argv[0] == "--serve":
         from unetseg_tpu import service
@@ -188,8 +188,18 @@ def main() -> int:
                 print(f"Error: invalid --serve address '{spec}' "
                       "(expected [HOST:]PORT)", file=sys.stderr)
                 return 2
+        timeout_s = None
+        if "--timeout" in argv:
+            i = argv.index("--timeout")
+            try:
+                timeout_s = float(argv[i + 1])
+            except (IndexError, ValueError):
+                print("Error: --timeout requires a number of seconds",
+                      file=sys.stderr)
+                return 2
         service.serve(host, port,
-                      device_postprocess="--device-post" in argv)
+                      device_postprocess="--device-post" in argv,
+                      request_timeout_s=timeout_s)
         return 0
     return repl()
 

@@ -102,6 +102,48 @@ def sliding_window_logits(params, img_f32: jax.Array, cfg: ModelConfig,
     return blend_windows(logit_tiles, h, w, window, stride)
 
 
+def make_tiled_batch_pipeline(cfg: ModelConfig, window: int = 512,
+                              overlap: int = 128, mesh=None,
+                              device_postprocess=True):
+    """jitted (params, u8 (B, H, W)) -> masks (B, H, W): sliding window over
+    a BATCH of large tiles as ONE program.
+
+    The per-image pipeline pays one dispatch round trip per tile (~tens of
+    ms on a tunneled dev box, and window batches of 9 underfill the chip);
+    batching B tiles flattens all B*n windows into a single model batch —
+    the same throughput lever as BASELINE config 2 — and vmaps the blend.
+    With a mesh the flat window batch is sharded over ``dp``.
+    """
+
+    def pipeline(params, u8b):
+        x = u8b.astype(jnp.float32) / 255.0
+        b, h, w = x.shape
+        stride = window - overlap
+        tiles = jax.vmap(
+            lambda im: extract_windows(im, window, stride))(x)[..., None]
+        n = tiles.shape[1]
+        flat = tiles.reshape(b * n, window, window, 1)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            flat = jax.lax.with_sharding_constraint(
+                flat, NamedSharding(mesh, P("dp")))
+        logit_flat = model_registry.apply(params, flat, cfg)
+        logit_tiles = logit_flat.reshape(b, n, window, window, -1)
+        logits = jax.vmap(
+            lambda lt: blend_windows(lt, h, w, window, stride))(logit_tiles)
+        mask = decode.decode_mask(logits, cfg.num_classes)
+        if device_postprocess:
+            from unetseg_tpu.parallel.batch import _device_cc
+
+            mask = jax.vmap(functools.partial(
+                postprocess.postprocess_mask,
+                use_pallas_cc=_device_cc()))(mask)
+        return mask
+
+    return jax.jit(pipeline)
+
+
 def make_tiled_pipeline(cfg: ModelConfig, window: int = 512,
                         overlap: int = 128, mesh=None,
                         device_postprocess=True):

@@ -8,14 +8,28 @@ connections (the reference's global g_runtime/g_engine analog):
 
   {"cmd": "init", "cache": "/path/model.ckpt"}
   {"cmd": "process", "path": "...", "width": W, "height": H,
-   "output_dir": "...", "recursive": false, "tta": false, "window": null}
+   "output_dir": "...", "recursive": false, "tta": false, "window": null,
+   "timeout_s": null}
   {"cmd": "status"}
+  {"cmd": "metrics", "n": 20}
   {"cmd": "shutdown"}
 
 Responses: {"ok": true, ...} or {"ok": false, "error": "..."}.  Per-image
 failures inside a directory request are counted, not fatal (parity with
 src/main.cpp:159-163).  Device work is serialized with a lock (one chip
 owner); artifact writing happens in the request thread.
+
+Hardening semantics (VERDICT r2 item 9):
+* ``shutdown`` drains gracefully: new work is rejected immediately
+  ("shutting down"), in-flight requests on other connections finish and get
+  their responses before teardown (stop() takes the device lock).
+* ``timeout_s`` (per request, or the service-wide ``request_timeout_s``)
+  bounds a process request: on expiry the CLIENT gets a timeout error while
+  the work is left to finish in the background (Python threads cannot be
+  killed safely; the device lock still serializes).
+* ``metrics`` returns the tail of the structured timings log
+  (timings.jsonl — the machine-readable extension of the reference's
+  log contract, src/initialize.cpp:29-39).
 
 Start with ``python -m unetseg_tpu --serve [HOST:]PORT`` or
 :func:`serve` / :class:`SegmentationService` programmatically.
@@ -46,10 +60,13 @@ class _Handler(socketserver.StreamRequestHandler):
                 resp = srv.dispatch(req)
             except Exception as e:  # malformed JSON / internal error
                 resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            # set the flag BEFORE the response hits the wire so a client
+            # that reads the reply and immediately checks state never races
+            if resp.get("shutdown"):
+                self.server.shutdown_requested = True  # type: ignore
             self.wfile.write((json.dumps(resp) + "\n").encode())
             self.wfile.flush()
             if resp.get("shutdown"):
-                self.server.shutdown_requested = True  # type: ignore
                 return
 
 
@@ -62,9 +79,12 @@ class SegmentationService:
     """Engine-backed request dispatcher + TCP server lifecycle."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 device_postprocess: bool = False):
+                 device_postprocess: bool = False,
+                 request_timeout_s: Optional[float] = None):
         self._lock = threading.Lock()   # the single device's owner
         self._device_postprocess = device_postprocess
+        self._request_timeout_s = request_timeout_s
+        self._draining = False          # shutdown received: reject new work
         self._n_processed = 0
         self._server = _Server((host, port), _Handler)
         self._server.service = self  # type: ignore
@@ -79,18 +99,64 @@ class SegmentationService:
 
     def dispatch(self, req: dict) -> dict:
         cmd = req.get("cmd")
+        if cmd == "shutdown":
+            self._draining = True  # reject new work; in-flight finishes
+            return {"ok": True, "shutdown": True}
+        if self._draining and cmd in ("init", "process"):
+            return {"ok": False, "error": "shutting down"}
         if cmd == "init":
             return self._init(req)
         if cmd == "process":
-            return self._process(req)
+            return self._with_timeout(req, self._process)
         if cmd == "status":
             eng = engine.get_engine()
             return {"ok": True, "initialized": eng is not None,
                     "processed": self._n_processed,
-                    "device_postprocess": self._device_postprocess}
-        if cmd == "shutdown":
-            return {"ok": True, "shutdown": True}
+                    "device_postprocess": self._device_postprocess,
+                    "draining": self._draining}
+        if cmd == "metrics":
+            return self._metrics(req)
         return {"ok": False, "error": f"unknown cmd: {cmd!r}"}
+
+    def _with_timeout(self, req: dict, fn) -> dict:
+        """Bound a request by ``timeout_s`` (request field) or the service
+        default.  Python threads cannot be killed, so an expired request
+        keeps running detached (still serialized by the device lock); the
+        client gets an immediate, honest timeout error."""
+        timeout = req.get("timeout_s", self._request_timeout_s)
+        if timeout is None:
+            return fn(req)
+        box = {}
+
+        def run():
+            box["resp"] = fn(req)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(float(timeout))
+        if t.is_alive():
+            return {"ok": False,
+                    "error": f"request timed out after {timeout}s "
+                             "(work continues in background)"}
+        return box["resp"]
+
+    def _metrics(self, req: dict) -> dict:
+        """Tail of the structured timings log (timings.jsonl)."""
+        from unetseg_tpu.utils.logger import GLOBAL_LOG
+
+        n = int(req.get("n", 20))
+        path = GLOBAL_LOG.jsonl_path
+        if not path or not os.path.exists(path):
+            return {"ok": True, "records": []}
+        with open(path) as f:
+            lines = f.readlines()[-n:]
+        records = []
+        for line in lines:
+            try:
+                records.append(json.loads(line))
+            except ValueError:
+                pass
+        return {"ok": True, "records": records}
 
     def _init(self, req: dict) -> dict:
         cache = req.get("cache")
@@ -155,15 +221,21 @@ class SegmentationService:
         self.stop()
 
     def stop(self) -> None:
+        self._draining = True
         self._server.shutdown()
         self._server.server_close()
-        engine.cleanup_resources()
+        # graceful drain: wait for any in-flight device work before tearing
+        # the engine down under it (shutdown-vs-inflight race, VERDICT r2)
+        with self._lock:
+            engine.cleanup_resources()
 
 
 def serve(host: str = "127.0.0.1", port: int = 8473,
-          device_postprocess: bool = False) -> None:
+          device_postprocess: bool = False,
+          request_timeout_s: Optional[float] = None) -> None:
     """Blocking entry point (``python -m unetseg_tpu --serve``)."""
-    svc = SegmentationService(host, port, device_postprocess)
+    svc = SegmentationService(host, port, device_postprocess,
+                              request_timeout_s=request_timeout_s)
     print(f"unetseg_tpu service listening on {svc.address[0]}:{svc.address[1]}")
     svc.serve_until_shutdown()
 

@@ -21,6 +21,7 @@ class SegmentationLog:
         self._f = None
         self._jsonl = None
         self._path: Optional[str] = None
+        self._jsonl_path: Optional[str] = None
         self._lock = threading.Lock()
 
     def open(self, log_dir: str, structured: bool = True) -> bool:
@@ -34,14 +35,21 @@ class SegmentationLog:
             return False
         if structured:
             try:
-                self._jsonl = open(os.path.join(log_dir, "timings.jsonl"), "w")
+                self._jsonl_path = os.path.join(log_dir, "timings.jsonl")
+                self._jsonl = open(self._jsonl_path, "w")
             except OSError:
                 self._jsonl = None
+                self._jsonl_path = None
         return True
 
     @property
     def path(self) -> Optional[str]:
         return self._path
+
+    @property
+    def jsonl_path(self) -> Optional[str]:
+        """Location of the structured timings log (service metrics source)."""
+        return self._jsonl_path
 
     def is_open(self) -> bool:
         return self._f is not None
