@@ -29,6 +29,9 @@ def _ensure_builtin() -> None:
         from unetseg_tpu.models import unetpp
 
         register("unetpp", unetpp.init, unetpp.apply)
+    if "unet_w8a8" not in _REGISTRY:
+        # importing the module registers the quantized-serving arch
+        from unetseg_tpu import quantize  # noqa: F401
 
 
 def get(name: str) -> Tuple[Callable, Callable]:

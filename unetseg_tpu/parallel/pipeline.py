@@ -112,19 +112,38 @@ def run_study(
     ]
 
     masks_out = np.empty((n, size, size), np.uint8) if keep_masks else None
+
+    # AOT warm-up before the clock: the engine compiles at initialize()
+    # (the reference's CUDA-Graph capture, src/process.cpp:92-105), so study
+    # throughput measures steady state, not one first-call XLA compile.
+    warm = (np.zeros((batch_size, size, size), np.uint8) if host_preprocess
+            else np.zeros((batch_size, height, width), np.uint16))
+    _, wm = device_stage(params, jnp.asarray(warm))
+    np.asarray(wm[0, 0, 0])
+
     t0 = time.perf_counter()
     inference_s = 0.0
 
+    from collections import deque
+
     with ThreadPoolExecutor(max_workers=loader_threads) as loaders, \
             ThreadPoolExecutor(max_workers=emitter_threads) as emitters:
-        # stage A: prefetch all batch loads (bounded by the pool)
-        loads = [
-            loaders.submit(
-                _load_batch, [slice_paths[k] for k in idxs], width, height,
-                size if host_preprocess else None,
-            )
-            for idxs in batches
-        ]
+        # stage A: prefetch batch loads, lazily submitted so loaded batches
+        # never pile up ahead of the device consumer (peak host memory stays
+        # O(loader_threads * batch), not O(study))
+        loads: deque = deque()
+        next_b = 0
+
+        def top_up():
+            nonlocal next_b
+            while next_b < len(batches) and len(loads) <= loader_threads:
+                idxs = batches[next_b]
+                loads.append(loaders.submit(
+                    _load_batch, [slice_paths[k] for k in idxs], width,
+                    height, size if host_preprocess else None))
+                next_b += 1
+
+        top_up()
 
         pending: List[Tuple[object, object, List[int]]] = []
         emit_futures = []
@@ -141,7 +160,8 @@ def run_study(
                     )
 
         for bi, idxs in enumerate(batches):
-            raws = loads[bi].result()
+            raws = loads.popleft().result()
+            top_up()
             if len(idxs) < batch_size:  # pad tail to the compiled shape
                 pad = np.repeat(raws[-1:], batch_size - len(idxs), axis=0)
                 raws = np.concatenate([raws, pad], axis=0)
