@@ -192,3 +192,62 @@ def test_device_trace_writes(tmp_path):
 
     found = any(files for _, _, files in os.walk(tmp_path / "trace"))
     assert found  # profiler dumped something
+
+
+def test_device_subset_engines_concurrent(tmp_path):
+    """Two engines pinned to disjoint 4-device subsets serve concurrent
+    callers and agree bit-for-bit with a single global engine — the
+    reference's thread_local-context intent (src/process.cpp:15) without
+    its shared-static-buffer race (SURVEY §5)."""
+    import threading
+
+    from unetseg_tpu import engine as eng_mod
+
+    params = unet.init(jax.random.key(3), SMALL)
+    devs = jax.devices()
+    e_a = eng_mod.InferenceEngine(params, SMALL, devices=devs[:4])
+    e_b = eng_mod.InferenceEngine(params, SMALL, devices=devs[4:])
+    e_all = eng_mod.InferenceEngine(params, SMALL)
+
+    rng = np.random.default_rng(7)
+    u8_a = rng.integers(0, 256, size=(4, 64, 64), dtype=np.uint8)
+    u8_b = rng.integers(0, 256, size=(4, 64, 64), dtype=np.uint8)
+
+    # each subset engine computes on ITS devices only
+    for e in (e_a, e_b):
+        assert e.mesh is not None
+        assert set(e.mesh.devices.flat) <= set(e.devices)
+    assert set(e_a.devices).isdisjoint(e_b.devices)
+
+    out = {}
+
+    def run(name, e, u8):
+        out[name] = np.asarray(e.infer(u8.copy()))
+
+    threads = [threading.Thread(target=run, args=("a", e_a, u8_a)),
+               threading.Thread(target=run, args=("b", e_b, u8_b))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+
+    np.testing.assert_array_equal(out["a"], np.asarray(e_all.infer(u8_a)))
+    np.testing.assert_array_equal(out["b"], np.asarray(e_all.infer(u8_b)))
+
+
+def test_single_device_pinned_engine():
+    """An engine pinned to one non-default device computes there."""
+    from unetseg_tpu import engine as eng_mod
+
+    params = unet.init(jax.random.key(3), SMALL)
+    dev = jax.devices()[5]
+    e = eng_mod.InferenceEngine(params, SMALL, devices=[dev])
+    rng = np.random.default_rng(9)
+    u8 = rng.integers(0, 256, size=(1, 64, 64), dtype=np.uint8)
+    mask = e.infer(u8)
+    assert mask.devices() == {dev}
+
+    e_default = eng_mod.InferenceEngine(params, SMALL,
+                                        devices=[jax.devices()[0]])
+    np.testing.assert_array_equal(np.asarray(mask),
+                                  np.asarray(e_default.infer(u8)))

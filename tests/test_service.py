@@ -39,7 +39,8 @@ def test_service_end_to_end(svc):
 
     r = service.request(addr, {"cmd": "status"})
     assert r == {"ok": True, "initialized": False, "processed": 0,
-                 "device_postprocess": False, "draining": False}
+                 "device_postprocess": False, "partitions": 1,
+                 "draining": False}
 
     # process before init -> clean error
     r = service.request(addr, {"cmd": "process", "path": "x", "width": 1,
@@ -207,16 +208,64 @@ def test_cli_serve_arg_parsing(monkeypatch):
     monkeypatch.setattr(
         svc_mod, "serve",
         lambda host, port, device_postprocess=False,
-        request_timeout_s=None: calls.update(
+        request_timeout_s=None, partitions=1: calls.update(
             host=host, port=port, dp=device_postprocess,
-            timeout=request_timeout_s))
+            timeout=request_timeout_s, partitions=partitions))
     monkeypatch.setattr(_sys, "argv",
                         ["unetseg_tpu", "--serve", "0.0.0.0:9000",
                          "--device-post"])
     assert cli.main() == 0
     assert calls == {"host": "0.0.0.0", "port": 9000, "dp": True,
-                     "timeout": None}
+                     "timeout": None, "partitions": 1}
 
     monkeypatch.setattr(_sys, "argv", ["unetseg_tpu", "--serve"])
     assert cli.main() == 0
     assert calls["port"] == 8473 and calls["host"] == "127.0.0.1"
+
+    monkeypatch.setattr(_sys, "argv", ["unetseg_tpu", "--serve", "9001",
+                                       "--partitions", "4"])
+    assert cli.main() == 0
+    assert calls["port"] == 9001 and calls["partitions"] == 4
+
+
+def test_service_partitioned_concurrent_clients(tmp_path):
+    """partitions=2: concurrent clients run in PARALLEL on disjoint device
+    subsets (no global device lock), artifacts all correct, status reports
+    the partition count, shutdown drains the pool."""
+    import threading
+
+    s = service.SegmentationService(port=0, partitions=2)
+    addr = s.start()
+    try:
+        cache = _setup_data(tmp_path, n=4)
+        assert service.request(addr, {"cmd": "init", "cache": cache})["ok"]
+        assert len(s._engines) == 2
+        devsets = [frozenset(e.devices) for e in s._engines]
+        assert devsets[0].isdisjoint(devsets[1])
+
+        assert service.request(addr, {"cmd": "status"})["partitions"] == 2
+
+        results = {}
+
+        def worker(i):
+            results[i] = service.request(addr, {
+                "cmd": "process",
+                "path": str(tmp_path / "data" / f"s{i}.raw"),
+                "width": 90, "height": 70,
+                "output_dir": str(tmp_path / f"out{i}")})
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert all(results[i]["ok"] for i in range(4)), results
+        for i in range(4):
+            assert (tmp_path / f"out{i}" / f"s{i}_mask.png").exists()
+        assert service.request(addr, {"cmd": "status"})["processed"] == 4
+        # all engines checked back in
+        assert len(s._engines) == 2
+    finally:
+        s.stop()
+    assert s._engines == []  # stop() drained the pool

@@ -197,9 +197,19 @@ def main() -> int:
                 print("Error: --timeout requires a number of seconds",
                       file=sys.stderr)
                 return 2
+        partitions = 1
+        if "--partitions" in argv:
+            i = argv.index("--partitions")
+            try:
+                partitions = int(argv[i + 1])
+            except (IndexError, ValueError):
+                print("Error: --partitions requires an integer",
+                      file=sys.stderr)
+                return 2
         service.serve(host, port,
                       device_postprocess="--device-post" in argv,
-                      request_timeout_s=timeout_s)
+                      request_timeout_s=timeout_s,
+                      partitions=partitions)
         return 0
     return repl()
 

@@ -54,7 +54,8 @@ class InferenceEngine:
     """
 
     def __init__(self, params, cfg: ModelConfig,
-                 device_postprocess: bool = False):
+                 device_postprocess: bool = False,
+                 devices: Optional[List] = None):
         self.cfg = cfg
         self.size = cfg.image_size  # reference hard-codes 512 (process.cpp:70)
         # All-device serving mode: fuse the mask cleanup (hole fill / open /
@@ -66,15 +67,22 @@ class InferenceEngine:
         # sharded over a dp mesh transparently (no CLI flags; the analog
         # surface `process.h:29` stays unchanged).  Per-image batch-1 calls
         # and odd batch sizes fall back to single-device executables.
-        devs = jax.devices()
+        #
+        # ``devices`` pins this engine to a subset of the host's chips so
+        # independent engines can serve concurrent callers side by side —
+        # the working realization of the reference's thread_local-context
+        # intent (src/process.cpp:15), minus its shared-static-buffer race.
+        devs = list(devices) if devices is not None else jax.devices()
+        self.devices = devs
         if len(devs) > 1:
             from unetseg_tpu.parallel import mesh as pmesh
 
-            self.mesh = pmesh.make_mesh(len(devs))
+            self.mesh = pmesh.make_mesh(len(devs), devices=devs)
             self.params = jax.device_put(params, pmesh.replicated(self.mesh))
         else:
             self.mesh = None
-            self.params = jax.device_put(params)
+            self.params = jax.device_put(params, devs[0])
+        self._device = devs[0]
         # AOT executables keyed by batch size, plus jitted TTA/tiled variants
         # keyed by ("tta"|"tiled", shape, ...) tuples.
         self._compiled: Dict[object, object] = {}
@@ -108,6 +116,13 @@ class InferenceEngine:
             mask = jax.vmap(functools.partial(
                 device_post.postprocess_mask, use_pallas_cc=on_tpu))(mask)
         return mask
+
+    def _put(self, arr) -> jax.Array:
+        """Host array -> this engine's device (or default for mesh engines:
+        sharded entry points do their own placement)."""
+        if self.mesh is None:
+            return jax.device_put(np.asarray(arr), self._device)
+        return jnp.asarray(arr)
 
     def cleanup_masks(self, masks) -> np.ndarray:
         """Mask cleanup stage: identity when it already ran on device."""
@@ -160,11 +175,23 @@ class InferenceEngine:
                     out_shardings=bs,
                     donate_argnums=(1,),
                 )
+                shape = jax.ShapeDtypeStruct(
+                    (batch_size, self.size, self.size), jnp.uint8
+                )
             else:
                 fn = jax.jit(self._pipeline, donate_argnums=(1,))
-            shape = jax.ShapeDtypeStruct(
-                (batch_size, self.size, self.size), jnp.uint8
-            )
+                shape = jax.ShapeDtypeStruct(
+                    (batch_size, self.size, self.size), jnp.uint8
+                )
+                if self.mesh is None:
+                    # pin the executable to this engine's device so subset
+                    # engines compile onto their own chip, not the default
+                    from jax.sharding import SingleDeviceSharding
+
+                    shape = jax.ShapeDtypeStruct(
+                        shape.shape, shape.dtype,
+                        sharding=SingleDeviceSharding(self._device),
+                    )
             self._compiled[batch_size] = fn.lower(self.params, shape).compile()
         return self._compiled[batch_size]
 
@@ -176,7 +203,7 @@ class InferenceEngine:
         if bs is not None:  # host -> per-chip shards directly, no bounce
             u8 = jax.device_put(np.asarray(u8_batch), bs)
         else:
-            u8 = jnp.asarray(u8_batch)
+            u8 = self._put(u8_batch)
         return compiled(self.params, u8)
 
     def infer_tta(self, u8_2d: np.ndarray) -> jax.Array:
@@ -188,7 +215,7 @@ class InferenceEngine:
             self._compiled[key] = tta.make_tta_pipeline(
                 self.cfg, device_postprocess=self.device_postprocess
             )
-        return self._compiled[key](self.params, jnp.asarray(u8_2d))
+        return self._compiled[key](self.params, self._put(u8_2d))
 
     def infer_tiled(self, u8_2d: np.ndarray, window: int,
                     overlap: int) -> jax.Array:
@@ -204,7 +231,7 @@ class InferenceEngine:
                 self.cfg, window=window, overlap=overlap,
                 device_postprocess=self.device_postprocess,
             )
-        return self._compiled[key](self.params, jnp.asarray(u8_2d))
+        return self._compiled[key](self.params, self._put(u8_2d))
 
 
 # --------------------------------------------------------------------------
@@ -339,12 +366,14 @@ def _polygonize(mask_vis: np.ndarray, output_dir: str, base_name: str,
 def process_single_image(raw_path: str, width: int, height: int,
                          output_dir: str, *, tta: bool = False,
                          window: Optional[int] = None,
-                         overlap: int = 128) -> bool:
+                         overlap: int = 128,
+                         eng: Optional[InferenceEngine] = None) -> bool:
     """Per-image pipeline.  ``tta`` enables the 8-fold ensemble; ``window``
     switches to native-resolution sliding-window inference (no 512²
-    downsample) with the given window size."""
+    downsample) with the given window size.  ``eng`` overrides the global
+    engine so concurrent callers can each own a device-subset engine."""
     try:
-        eng = get_engine()
+        eng = eng or get_engine()
         if eng is None:
             raise RuntimeError("Engine not initialized")
 
@@ -420,7 +449,8 @@ def process_single_image(raw_path: str, width: int, height: int,
 # --------------------------------------------------------------------------
 
 def process_batch(raw_paths: List[str], width: int, height: int,
-                  output_dirs: List[str], batch_size: int = 32) -> Tuple[int, int]:
+                  output_dirs: List[str], batch_size: int = 32,
+                  eng: Optional[InferenceEngine] = None) -> Tuple[int, int]:
     """Batched pipeline over same-sized RAW slices.
 
     Host loads + device-fused preprocess + batched UNet + postprocess, with
@@ -428,7 +458,7 @@ def process_batch(raw_paths: List[str], width: int, height: int,
     emission.  Returns (success, fail) counts; per-image failures do not
     abort the batch (parity with src/main.cpp:159-163).
     """
-    eng = get_engine()
+    eng = eng or get_engine()
     if eng is None:
         raise RuntimeError("Engine not initialized")
 

@@ -30,6 +30,10 @@ Hardening semantics (VERDICT r2 item 9):
 * ``metrics`` returns the tail of the structured timings log
   (timings.jsonl — the machine-readable extension of the reference's
   log contract, src/initialize.cpp:29-39).
+* ``partitions=N`` (``--partitions N``) splits the host's chips into N
+  engine partitions; concurrent clients then run truly in parallel, each
+  request on its own device subset (the thread_local-context intent of
+  src/process.cpp:15 without its shared-static-buffer race).
 
 Start with ``python -m unetseg_tpu --serve [HOST:]PORT`` or
 :func:`serve` / :class:`SegmentationService` programmatically.
@@ -75,17 +79,36 @@ class _Server(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
 
+class _NullLock:
+    """No-op lock: partitioned engines own their devices, nothing to guard."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
 class SegmentationService:
     """Engine-backed request dispatcher + TCP server lifecycle."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  device_postprocess: bool = False,
-                 request_timeout_s: Optional[float] = None):
+                 request_timeout_s: Optional[float] = None,
+                 partitions: int = 1):
         self._lock = threading.Lock()   # the single device's owner
         self._device_postprocess = device_postprocess
         self._request_timeout_s = request_timeout_s
         self._draining = False          # shutdown received: reject new work
         self._n_processed = 0
+        # partitions > 1: split the host's devices into that many engine
+        # partitions so concurrent clients run truly in parallel, each on
+        # its own chip subset (the thread_local-context intent of
+        # src/process.cpp:15, realized without the shared-buffer race).
+        self._partitions = max(1, int(partitions))
+        self._engines: list = []        # checkout pool (partitioned mode)
+        self._pool_cv = threading.Condition()
+        self._count_lock = threading.Lock()
         self._server = _Server((host, port), _Handler)
         self._server.service = self  # type: ignore
         self._server.shutdown_requested = False  # type: ignore
@@ -113,6 +136,7 @@ class SegmentationService:
             return {"ok": True, "initialized": eng is not None,
                     "processed": self._n_processed,
                     "device_postprocess": self._device_postprocess,
+                    "partitions": self._partitions,
                     "draining": self._draining}
         if cmd == "metrics":
             return self._metrics(req)
@@ -165,8 +189,40 @@ class SegmentationService:
         with self._lock:
             ok = engine.initialize_engine(
                 cache, device_postprocess=self._device_postprocess)
+            if ok and self._partitions > 1:
+                self._build_partitions()
         return {"ok": bool(ok)} if ok else \
             {"ok": False, "error": f"initialization failed for {cache}"}
+
+    # -- partitioned engine pool --------------------------------------------
+
+    def _build_partitions(self) -> None:
+        import jax
+
+        base = engine.get_engine()
+        devs = jax.devices()
+        n = min(self._partitions, len(devs))
+        per = len(devs) // n
+        with self._pool_cv:
+            self._engines = [
+                engine.InferenceEngine(
+                    base.params, base.cfg, self._device_postprocess,
+                    devices=devs[i * per:(i + 1) * per if i < n - 1 else None])
+                for i in range(n)
+            ]
+            self._n_built = n
+            self._pool_cv.notify_all()
+
+    def _checkout(self):
+        with self._pool_cv:
+            while not self._engines:
+                self._pool_cv.wait()
+            return self._engines.pop()
+
+    def _checkin(self, eng) -> None:
+        with self._pool_cv:
+            self._engines.append(eng)
+            self._pool_cv.notify()
 
     def _process(self, req: dict) -> dict:
         if engine.get_engine() is None:
@@ -181,28 +237,41 @@ class SegmentationService:
         tta = bool(req.get("tta", False))
         window = req.get("window")
 
-        with self._lock:
-            if os.path.isdir(path):
-                files = raw_io.find_16bit_images(
-                    path, recursive=bool(req.get("recursive", False)))
-                if not files:
-                    return {"ok": False, "error": f"no images under {path}"}
-                out_dirs = [
-                    os.path.join(out_dir,
-                                 os.path.relpath(os.path.dirname(f), path))
-                    for f in files
-                ]
-                n_ok, n_fail = engine.process_batch(
-                    files, width, height, out_dirs)
-                self._n_processed += n_ok
-                return {"ok": n_fail == 0, "processed": n_ok,
-                        "failed": n_fail}
-            ok = engine.process_single_image(
-                path, width, height, out_dir, tta=tta,
-                window=int(window) if window else None)
-            self._n_processed += int(ok)
-            return {"ok": bool(ok)} if ok else \
-                {"ok": False, "error": f"processing failed for {path}"}
+        partitioned = self._partitions > 1
+        if partitioned:
+            eng = self._checkout()   # concurrent requests run in parallel,
+            lock = _NullLock()       # each on its own device subset
+        else:
+            eng = None               # global engine, serialized by the lock
+            lock = self._lock
+        try:
+            with lock:
+                if os.path.isdir(path):
+                    files = raw_io.find_16bit_images(
+                        path, recursive=bool(req.get("recursive", False)))
+                    if not files:
+                        return {"ok": False, "error": f"no images under {path}"}
+                    out_dirs = [
+                        os.path.join(out_dir,
+                                     os.path.relpath(os.path.dirname(f), path))
+                        for f in files
+                    ]
+                    n_ok, n_fail = engine.process_batch(
+                        files, width, height, out_dirs, eng=eng)
+                    with self._count_lock:
+                        self._n_processed += n_ok
+                    return {"ok": n_fail == 0, "processed": n_ok,
+                            "failed": n_fail}
+                ok = engine.process_single_image(
+                    path, width, height, out_dir, tta=tta,
+                    window=int(window) if window else None, eng=eng)
+                with self._count_lock:
+                    self._n_processed += int(ok)
+                return {"ok": bool(ok)} if ok else \
+                    {"ok": False, "error": f"processing failed for {path}"}
+        finally:
+            if partitioned:
+                self._checkin(eng)
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -225,17 +294,26 @@ class SegmentationService:
         self._server.shutdown()
         self._server.server_close()
         # graceful drain: wait for any in-flight device work before tearing
-        # the engine down under it (shutdown-vs-inflight race, VERDICT r2)
+        # the engine down under it (shutdown-vs-inflight race, VERDICT r2).
+        # Partitioned mode drains by waiting for every engine to check back
+        # into the pool.
+        if getattr(self, "_n_built", 0):
+            with self._pool_cv:
+                while len(self._engines) < self._n_built:
+                    self._pool_cv.wait()
+                self._engines = []
         with self._lock:
             engine.cleanup_resources()
 
 
 def serve(host: str = "127.0.0.1", port: int = 8473,
           device_postprocess: bool = False,
-          request_timeout_s: Optional[float] = None) -> None:
+          request_timeout_s: Optional[float] = None,
+          partitions: int = 1) -> None:
     """Blocking entry point (``python -m unetseg_tpu --serve``)."""
     svc = SegmentationService(host, port, device_postprocess,
-                              request_timeout_s=request_timeout_s)
+                              request_timeout_s=request_timeout_s,
+                              partitions=partitions)
     print(f"unetseg_tpu service listening on {svc.address[0]}:{svc.address[1]}")
     svc.serve_until_shutdown()
 
