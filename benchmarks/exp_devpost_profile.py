@@ -59,3 +59,8 @@ timeit("FULL postprocess_batch (pallas cc)",
        lambda m: postprocess.postprocess_batch(m, use_pallas_cc=True), masks)
 timeit("FULL postprocess_batch (xla cc)",
        lambda m: postprocess.postprocess_batch(m, use_pallas_cc=False), masks)
+
+# v3 fast path (scatter-lean: 1 area scatter + border scatter + min-prop
+# predicate broadcast per CC stage) — the row that matters
+timeit("FULL postprocess_batch v3 (pallas fast)",
+       lambda m: postprocess.postprocess_batch(m, use_pallas_cc=True), masks)

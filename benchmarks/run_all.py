@@ -104,6 +104,28 @@ def main() -> int:
     report["c2_per_class_contour_ms_per_slice_host"] = round(contour_ms, 2)
     report["c2_total_contours"] = n_contours
 
+    # ---- config 2b: ALL-DEVICE serving (device postprocess v3 fused) -----
+    # VERDICT r3 item 4: benchmark device_postprocess=True end-to-end.
+    from unetseg_tpu.ops import postprocess as device_post
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    @jax.jit
+    def fused_all_device(p, raws):
+        _, x = preprocess.preprocess_batch(raws, 512)
+        mask = decode.decode_mask(model_registry.apply(p, x, cfg), 3)
+        return device_post.postprocess_batch(mask, use_pallas_cc=on_tpu)
+
+    out = fused_all_device(params, raws_dev)
+    sync1(out)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = fused_all_device(params, raws_dev)
+    sync1(out)
+    dt = (time.perf_counter() - t0) / 5
+    report["c2_all_device_slices_per_sec"] = round(32 / dt, 1)
+    report["c2_all_device_ms_per_batch"] = round(dt * 1000, 1)
+
     # ---- config 3: 1024² sliding window ----------------------------------
     big = np.zeros((1024, 1024), np.uint16)
     s0, _ = synth_slice(rng, 512)

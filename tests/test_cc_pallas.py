@@ -79,19 +79,68 @@ def test_batched():
     np.testing.assert_array_equal(got, want)
 
 
-def test_postprocess_v2_matches_v1(monkeypatch):
-    # route the pallas CCL through interpret mode on CPU
-    from unetseg_tpu.ops import cc_pallas
-
-    orig = cc_pallas.cc_label_pallas
-    monkeypatch.setattr(cc_pallas, "cc_label_pallas",
-                        functools.partial(orig, interpret=True))
-
+def test_postprocess_v3_matches_oracle_synth():
     from unetseg_tpu import data
 
     rng = np.random.default_rng(5)
     _, lab = data.synth_slice(rng, 128)
     m = jnp.asarray(lab)
     v1 = np.asarray(postprocess.postprocess_mask(m))
-    v2 = np.asarray(postprocess.postprocess_mask(m, use_pallas_cc=True))
+    v2 = np.asarray(postprocess.postprocess_mask(m, use_pallas_cc=True,
+                                                 interpret=True))
     np.testing.assert_array_equal(v1, v2)
+
+
+def test_postprocess_v3_matches_oracle_adversarial():
+    """Every branch of the scatter-lean fast path: big interior hole (too
+    large to fill), small interior hole (filled), border-touching inverse
+    region (never filled), sub-threshold fg blob (dropped), class-1 pixels
+    in the hole (inv includes them), single-pixel noise."""
+    h = w = 64
+    m = np.zeros((h, w), np.uint8)
+    # large fg blob with two holes
+    m[4:60, 4:40] = 2
+    m[10:16, 10:16] = 0            # small hole -> filled
+    m[24:36, 8:30] = 0             # hole area 264 >= 6%*4096=245 -> NOT filled
+    m[12, 12] = 1                  # class-1 inside the small hole (still inv)
+    # fg blob touching nothing, below area threshold -> dropped by filter
+    m[50:54, 50:54] = 2
+    # inverse region connected to the border (the background) must never fill
+    m[0:2, 0:2] = 0
+    # single-pixel fg noise
+    m[62, 62] = 2
+
+    v1 = np.asarray(postprocess.postprocess_mask(jnp.asarray(m)))
+    v2 = np.asarray(postprocess.postprocess_mask(
+        jnp.asarray(m), use_pallas_cc=True, interpret=True))
+    np.testing.assert_array_equal(v1, v2)
+    # sanity vs intent: the big hole survived, the small one filled
+    assert v1[12, 12] == 2 and v1[30, 20] == 0
+
+
+def test_postprocess_v3_batch():
+    from unetseg_tpu import data
+
+    rng = np.random.default_rng(11)
+    masks = np.stack([data.synth_slice(rng, 64)[1] for _ in range(3)])
+    v1 = np.asarray(postprocess.postprocess_batch(jnp.asarray(masks)))
+    v2 = np.asarray(postprocess.postprocess_batch(
+        jnp.asarray(masks), use_pallas_cc=True, interpret=True))
+    np.testing.assert_array_equal(v1, v2)
+
+
+def test_propagate_min_pallas_regions():
+    from unetseg_tpu.ops.cc_pallas import propagate_min_pallas
+
+    fg = np.zeros((16, 16), bool)
+    fg[2:5, 2:10] = True
+    fg[10:14, 1:6] = True
+    seeds = np.full((16, 16), 999, np.int32)   # sentinel
+    seeds[fg] = 500
+    seeds[3, 7] = 42                            # min of region 1
+    seeds[13, 5] = 7                            # min of region 2
+    out = np.asarray(propagate_min_pallas(
+        jnp.asarray(seeds), sentinel=999, interpret=True))
+    assert (out[2:5, 2:10] == 42).all()
+    assert (out[10:14, 1:6] == 7).all()
+    assert (out[~fg] == 999).all()

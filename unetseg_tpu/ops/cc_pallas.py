@@ -87,8 +87,9 @@ def _neighbor_min8(lbl, fgi, sentinel):
     return jnp.where(fgi > 0, jnp.minimum(lbl, m), lbl)
 
 
-def _cc_kernel(lbl_ref, out_ref, lbl_s, val_s, run_s, *, H, W, max_passes):
-    sentinel = jnp.int32(H * W)
+def _cc_kernel(lbl_ref, out_ref, lbl_s, val_s, run_s, *, H, W, max_passes,
+               sentinel):
+    sentinel = jnp.int32(sentinel)
     lbl_s[...] = lbl_ref[0]
     fgi0 = jnp.where(lbl_ref[0] != sentinel, jnp.int32(1), jnp.int32(0))
 
@@ -119,6 +120,56 @@ def _cc_kernel(lbl_ref, out_ref, lbl_s, val_s, run_s, *, H, W, max_passes):
     out_ref[0] = lbl_s[...]
 
 
+def _propagate_min(init: jax.Array, *, sentinel: int, max_passes: int,
+                   interpret: bool) -> jax.Array:
+    """Run the segmented min-propagation kernel on arbitrary int32 seeds.
+
+    ``init``: (B, H, W) int32; cells equal to ``sentinel`` are background
+    (propagation never crosses them), every other cell carries a seed value.
+    Each 8-connected region of non-sentinel cells converges to its minimum
+    seed.  CC labeling is the special case seed = flat index; value
+    broadcast from a component's root is the case seed = root*2 + bit
+    (see ops/postprocess.py fast path).
+    """
+    B, H, W = init.shape
+    kernel = functools.partial(_cc_kernel, H=H, W=W, max_passes=max_passes,
+                               sentinel=sentinel)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((H, W), jnp.int32),   # labels
+            pltpu.VMEM((H, W), jnp.int32),   # scan value
+            pltpu.VMEM((H, W), jnp.int32),   # scan run
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(init)
+
+
+@functools.partial(jax.jit, static_argnames=("max_passes", "interpret",
+                                             "sentinel"))
+def propagate_min_pallas(init: jax.Array, *, sentinel: int,
+                         max_passes: int | None = None,
+                         interpret: bool = False) -> jax.Array:
+    """(H, W) or (B, H, W) int32 seeds -> per-region minima (see above)."""
+    squeeze = init.ndim == 2
+    if squeeze:
+        init = init[None]
+    _, H, W = init.shape
+    if max_passes is None:
+        max_passes = H + W
+    out = _propagate_min(init, sentinel=sentinel, max_passes=max_passes,
+                         interpret=interpret)
+    return out[0] if squeeze else out
+
+
 @functools.partial(jax.jit, static_argnames=("max_passes", "interpret"))
 def cc_label_pallas(fg: jax.Array, *, max_passes: int | None = None,
                     interpret: bool = False) -> jax.Array:
@@ -141,23 +192,6 @@ def cc_label_pallas(fg: jax.Array, *, max_passes: int | None = None,
     idx = (lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
            + lax.broadcasted_iota(jnp.int32, (H, W), 1))
     lbl0 = jnp.where(fg, idx[None], jnp.int32(sentinel))
-
-    kernel = functools.partial(_cc_kernel, H=H, W=W, max_passes=max_passes)
-    out = pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((H, W), jnp.int32),   # labels
-            pltpu.VMEM((H, W), jnp.int32),   # scan value
-            pltpu.VMEM((H, W), jnp.int32),   # scan run
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(lbl0)
+    out = _propagate_min(lbl0, sentinel=sentinel, max_passes=max_passes,
+                         interpret=interpret)
     return out[0] if squeeze else out

@@ -64,42 +64,108 @@ def fill_holes_inside_foreground(mask: jax.Array,
     return jnp.where(fill, jnp.uint8(FOREGROUND_VALUE), mask)
 
 
-def postprocess_mask(mask: jax.Array, use_pallas_cc: bool = False) -> jax.Array:
+def postprocess_mask(mask: jax.Array, use_pallas_cc: bool = False,
+                     interpret: bool = False) -> jax.Array:
     """(H, W) uint8 class mask -> cleaned {0, 2} uint8 mask (one XLA program).
 
-    ``use_pallas_cc`` routes the two CCL passes through the VMEM-resident
-    segmented-scan kernel (ops/cc_pallas.py) — device postprocess v2,
-    ~40x faster labeling on TPU; identical labels (oracle-tested).
+    ``use_pallas_cc`` routes to the scatter-lean device fast path
+    (:func:`_postprocess_mask_pallas`) — device postprocess v3; the XLA
+    branch below is the readable oracle the fast path is tested against.
     """
+    if use_pallas_cc:
+        return _postprocess_mask_pallas(mask, interpret=interpret)
+
     h, w = mask.shape
     min_area = min_area_threshold(h, w)
 
-    mask = fill_holes_inside_foreground(mask, use_pallas_cc)
+    mask = fill_holes_inside_foreground(mask, use_pallas_cc=False)
 
     fg = morphology.open_(mask == FOREGROUND_VALUE, MORPH_KERNEL_SIZE)
 
-    if use_pallas_cc:
-        from unetseg_tpu.ops.cc_pallas import cc_label_pallas
-
-        lbl = cc_label_pallas(fg)
-    else:
-        lbl = cc.cc_label(fg)
+    lbl = cc.cc_label(fg)
     keep_seg = cc.cc_area(fg, lbl) >= min_area
     keep = keep_seg[lbl.reshape(-1)].reshape(h, w) & fg
 
     return jnp.where(keep, jnp.uint8(FOREGROUND_VALUE), jnp.uint8(0))
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas_cc",))
-def postprocess_mask_jit(mask: jax.Array,
-                         use_pallas_cc: bool = False) -> jax.Array:
-    return postprocess_mask(mask, use_pallas_cc)
+def _region_predicate(region: jax.Array, slot_bit: jax.Array,
+                      lbl: jax.Array, idx: jax.Array,
+                      interpret: bool) -> jax.Array:
+    """Broadcast a per-root predicate to every pixel of its component
+    WITHOUT a 262k-element table gather (the ~3 ms/mask XLA gather the
+    profile pinned down — benchmarks/exp_devpost_profile.py).
+
+    Each component's root pixel (lbl == idx, i.e. the pixel whose flat
+    index IS the root label) seeds ``root*2 + (0 if predicate else 1)``;
+    every other member seeds the neutral ``root*2 + 1``.  One segmented
+    min-propagation (the CCL kernel on custom seeds) floods the component
+    with its minimum, so bit 0 of the result is the root's predicate.
+    """
+    from unetseg_tpu.ops.cc_pallas import propagate_min_pallas
+
+    h, w = region.shape
+    sent2 = 2 * h * w + 2
+    is_root = lbl == idx
+    seed = lbl * 2 + jnp.where(is_root & slot_bit, 0, 1)
+    packed = propagate_min_pallas(
+        jnp.where(region, seed, sent2), sentinel=sent2, interpret=interpret)
+    return region & ((packed & 1) == 0)
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas_cc",))
-def postprocess_batch(masks: jax.Array,
-                      use_pallas_cc: bool = False) -> jax.Array:
+def _postprocess_mask_pallas(mask: jax.Array,
+                             interpret: bool = False) -> jax.Array:
+    """Device postprocess v3 — same semantics as the XLA oracle above
+    (postprocess.cpp:47-79), restructured for the TPU's scatter aversion:
+
+    * per-component stats shrink from five 262k-element scatters
+      (cc.cc_stats, measured 18.3 ms/mask) to ONE area scatter-add plus a
+      ~2k-element border-label scatter ("bbox touches no border" is
+      equivalent to "contains no border pixel" for a connected set);
+    * the two predicate table-gathers (3 ms/mask each) become
+      min-propagation passes in VMEM (~1 ms, :func:`_region_predicate`).
+    """
+    from unetseg_tpu.ops.cc_pallas import cc_label_pallas
+
+    h, w = mask.shape
+    size = h * w
+    min_area = min_area_threshold(h, w)
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+           + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1))
+
+    # --- hole fill (postprocess.cpp:13-44) -------------------------------
+    inv = mask != FOREGROUND_VALUE
+    lbl = cc_label_pallas(inv, interpret=interpret)
+    area = jnp.zeros((size + 1,), jnp.int32).at[lbl.reshape(-1)].add(
+        inv.reshape(-1).astype(jnp.int32))
+    border_lbl = jnp.concatenate([lbl[0], lbl[-1], lbl[:, 0], lbl[:, -1]])
+    touch = jnp.zeros((size + 1,), jnp.bool_).at[border_lbl].set(True)
+    hole_slot = ((area[:size] < min_area) & ~touch[:size]).reshape(h, w)
+    fill = _region_predicate(inv, hole_slot, lbl, idx, interpret)
+    mask = jnp.where(fill, jnp.uint8(FOREGROUND_VALUE), mask)
+
+    # --- binarize + open + component area filter (postprocess.cpp:57-76) -
+    fg = morphology.open_(mask == FOREGROUND_VALUE, MORPH_KERNEL_SIZE)
+    lbl2 = cc_label_pallas(fg, interpret=interpret)
+    area2 = jnp.zeros((size + 1,), jnp.int32).at[lbl2.reshape(-1)].add(
+        fg.reshape(-1).astype(jnp.int32))
+    keep_slot = (area2[:size] >= min_area).reshape(h, w)
+    keep = _region_predicate(fg, keep_slot, lbl2, idx, interpret)
+
+    return jnp.where(keep, jnp.uint8(FOREGROUND_VALUE), jnp.uint8(0))
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas_cc", "interpret"))
+def postprocess_mask_jit(mask: jax.Array, use_pallas_cc: bool = False,
+                         interpret: bool = False) -> jax.Array:
+    return postprocess_mask(mask, use_pallas_cc, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas_cc", "interpret"))
+def postprocess_batch(masks: jax.Array, use_pallas_cc: bool = False,
+                      interpret: bool = False) -> jax.Array:
     """(N, H, W) uint8 -> (N, H, W) uint8, vmapped over the batch."""
     return jax.vmap(
-        functools.partial(postprocess_mask, use_pallas_cc=use_pallas_cc)
+        functools.partial(postprocess_mask, use_pallas_cc=use_pallas_cc,
+                          interpret=interpret)
     )(masks)
