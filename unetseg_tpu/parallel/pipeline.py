@@ -42,13 +42,27 @@ class StudyResult:
 
 
 def _load_batch(paths: Sequence[str], width: int, height: int,
-                to_u8_size: Optional[int] = None) -> np.ndarray:
+                to_u8_size: Optional[int] = None,
+                pad_to: Optional[int] = None,
+                to_device: bool = False):
+    """Read + (optionally) host-preprocess a batch; optionally pad the
+    ragged tail to the compiled batch shape and ship it to the device.
+
+    ``to_device=True`` issues the H2D copy from the loader thread, so the
+    transfer overlaps the main loop's dispatch/drain instead of blocking
+    it — the double-buffered cudaMemcpyAsync analog (src/process.cpp:143)
+    on the host side."""
     raws = [np.asarray(raw_io.read_raw(p, width, height)) for p in paths]
     if to_u8_size is not None:
         from unetseg_tpu.io import native
 
-        return np.stack([native.preprocess_u8(r, to_u8_size) for r in raws])
-    return np.stack(raws)
+        out = np.stack([native.preprocess_u8(r, to_u8_size) for r in raws])
+    else:
+        out = np.stack(raws)
+    if pad_to is not None and out.shape[0] < pad_to:
+        pad = np.repeat(out[-1:], pad_to - out.shape[0], axis=0)
+        out = np.concatenate([out, pad], axis=0)
+    return jax.device_put(out) if to_device else out
 
 
 @functools.lru_cache(maxsize=None)
@@ -140,7 +154,8 @@ def run_study(
                 idxs = batches[next_b]
                 loads.append(loaders.submit(
                     _load_batch, [slice_paths[k] for k in idxs], width,
-                    height, size if host_preprocess else None))
+                    height, size if host_preprocess else None,
+                    batch_size, True))
                 next_b += 1
 
         top_up()
@@ -160,13 +175,10 @@ def run_study(
                     )
 
         for bi, idxs in enumerate(batches):
-            raws = loads.popleft().result()
+            raws = loads.popleft().result()  # already on device (loader H2D)
             top_up()
-            if len(idxs) < batch_size:  # pad tail to the compiled shape
-                pad = np.repeat(raws[-1:], batch_size - len(idxs), axis=0)
-                raws = np.concatenate([raws, pad], axis=0)
             t_inf = time.perf_counter()
-            u8_dev, masks_dev = device_stage(params, jnp.asarray(raws))
+            u8_dev, masks_dev = device_stage(params, raws)
             pending.append((u8_dev, masks_dev, idxs))
             if len(pending) > 1:  # overlap: drain previous while device runs
                 drain(pending.pop(0))
