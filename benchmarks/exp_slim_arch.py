@@ -88,6 +88,10 @@ def main():
         ("D s2d2 base64 d4",   ModelConfig(in_channels=4, num_classes=12), True),
         ("E base48 d4",        ModelConfig(base_channels=48), False),
         ("F s2d2 base96 d4",   ModelConfig(in_channels=4, num_classes=12, base_channels=96), True),
+        # round-3b: stem=4 sweep (128² levels) via the production stem path
+        ("G s2d4 base64 d2",   ModelConfig(stem=4, depth=2), False),
+        ("H s2d4 base64 d3",   ModelConfig(stem=4, depth=3), False),
+        ("I s2d4 base96 d3",   ModelConfig(stem=4, depth=3, base_channels=96), False),
     ]
 
     results = {}

@@ -17,7 +17,10 @@ device-resident tensors by an 8-int index vector.
 Produces ``models/flagship_slim.ckpt`` (float16 params, serve config) and
 prints val fg-IoU (vs labels) and mask agreement (vs teacher).
 
-Usage: python benchmarks/train_slim.py [steps] [n_train] [depth]
+Usage: python benchmarks/train_slim.py [steps] [n_train] [depth] [stem]
+                                       [base_channels] [out_path]
+(stem=4 explores the 128²-levels geometry; the contract gate — ship only
+at >=0.999 agreement — is applied by the caller.)
 """
 
 import functools
@@ -59,12 +62,15 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
     n_train = int(sys.argv[2]) if len(sys.argv) > 2 else 192
     depth = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    stem = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    base = int(sys.argv[5]) if len(sys.argv) > 5 else 64
+    out_path = sys.argv[6] if len(sys.argv) > 6 else OUT
     batch = 8
 
     t_params, t_cfg = checkpoint.load(TEACHER)
     t_params = jax.device_put(t_params)
 
-    cfg = ModelConfig(stem=2, depth=depth)  # variant C/D of exp_slim_arch.py
+    cfg = ModelConfig(stem=stem, depth=depth, base_channels=base)
     tx = train.make_optimizer(lr=3e-4, total_steps=steps)
     state = train.init_state(jax.random.key(0), cfg, tx)
 
@@ -137,8 +143,8 @@ def main():
 
     params_f16 = jax.tree_util.tree_map(
         lambda a: np.asarray(a, np.float16), jax.device_get(state.params))
-    checkpoint.save(OUT, params_f16, ModelConfig(stem=2, depth=depth))
-    print(f"saved {OUT} ({os.path.getsize(OUT)/1e6:.1f} MB)")
+    checkpoint.save(out_path, params_f16, cfg)
+    print(f"saved {out_path} ({os.path.getsize(out_path)/1e6:.1f} MB)")
 
 
 if __name__ == "__main__":
