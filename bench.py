@@ -4,7 +4,8 @@
 Measures the dense device path the framework deploys — u8 normalize ->
 UNet -> argmax decode — as one XLA executable, batch-32, on whatever backend
 JAX selects (the driver runs this on one real TPU chip).  The serving model
-is the slim flagship (models/flagship_slim.ckpt: space-to-depth stem, all
+is the best distilled student present (models/flagship_slim4.ckpt: stem=4
+base-96, then models/flagship_slim.ckpt: space-to-depth stem, all
 internals at 256², distilled from the 512² flagship teacher to >=0.999 mask
 agreement); it falls back to the flagship and then to random init when
 checkpoints are absent.  Mask cleanup runs on the host in production,
@@ -33,6 +34,7 @@ import time
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
+SLIM4 = os.path.join(_DIR, "models", "flagship_slim4.ckpt")
 SLIM = os.path.join(_DIR, "models", "flagship_slim.ckpt")
 FLAGSHIP = os.path.join(_DIR, "models", "flagship_synth.ckpt")
 
@@ -56,7 +58,15 @@ def main() -> int:
     from unetseg_tpu.models import registry as model_registry, unet
     from unetseg_tpu.ops import decode, preprocess
 
-    if os.path.exists(SLIM):
+    if os.path.exists(SLIM4):
+        # stem=4 base-96 distilled student (benchmarks/train_slim.py):
+        # 0.9994 teacher-mask IoU, ~1.75x the stem=2 slim's throughput.
+        from unetseg_tpu import checkpoint
+
+        params, cfg = checkpoint.load(SLIM4)
+        params = jax.device_put(params)
+        serving = "slim4"
+    elif os.path.exists(SLIM):
         from unetseg_tpu import checkpoint
 
         params, cfg = checkpoint.load(SLIM)
@@ -161,8 +171,8 @@ def main() -> int:
             vals.append(metrics.polygon_iou(ours, theirs, ow, oh))
         parity = float(np.mean(vals))
 
-        # slim-vs-flagship polygon agreement (the distillation contract)
-        if serving == "slim" and os.path.exists(FLAGSHIP):
+        # student-vs-flagship polygon agreement (the distillation contract)
+        if serving in ("slim", "slim4") and os.path.exists(FLAGSHIP):
             from unetseg_tpu import checkpoint as _ck
 
             t_params, t_cfg = _ck.load(FLAGSHIP)

@@ -45,16 +45,20 @@ def main() -> int:
     from unetseg_tpu.parallel import pipeline as ppl
     from unetseg_tpu.parallel import tiles, tta
 
-    # Serving checkpoint (slim flagship) when present; random flagship
-    # geometry otherwise — same policy as bench.py.
-    slim = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "models", "flagship_slim.ckpt")
-    if os.path.exists(slim):
+    # Serving checkpoint (slim4 > slim flagship) when present; random
+    # flagship geometry otherwise — same policy as bench.py.
+    mdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "models")
+    slim = next((p for p in (os.path.join(mdir, "flagship_slim4.ckpt"),
+                             os.path.join(mdir, "flagship_slim.ckpt"))
+                 if os.path.exists(p)), None)
+    if slim:
         from unetseg_tpu import checkpoint
 
         params, cfg = checkpoint.load(slim)
         params = jax.device_put(params)
-        ckpt_name = "slim"
+        ckpt_name = os.path.basename(slim).replace(
+            "flagship_", "").replace(".ckpt", "")
     else:
         cfg = ModelConfig()
         params = unet.init(jax.random.key(0), cfg)
