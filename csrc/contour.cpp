@@ -150,53 +150,80 @@ int utpu_extract_contours(const uint8_t* mask, int h, int w,
     for (int x = 0; x < w; ++x)
       padded[(y + 1) * pw + (x + 1)] = mask[y * w + x] > 127 ? 1 : 0;
 
-  const size_t n = static_cast<size_t>(ph) * pw;
+  // Run-length connected components: union-find over row RUNS instead of
+  // pixels (the same ~100x element reduction as utpu_postprocess's RLE CC)
+  // — the pixel-DSU version of this function measured ~7 ms/512² mask with
+  // the cost entirely in the two full-image DSU passes.
+  struct Run {
+    int32_t x0, x1;  // half-open [x0, x1)
+  };
+  std::vector<Run> fg_runs, bg_runs;
+  std::vector<int32_t> fg_off(ph + 1, 0), bg_off(ph + 1, 0);
+  fg_runs.reserve(1024);
+  bg_runs.reserve(1024);
+  for (int y = 0; y < ph; ++y) {
+    const uint8_t* row = &padded[static_cast<size_t>(y) * pw];
+    int x = 0;
+    while (x < pw) {
+      const uint8_t v = row[x];
+      const int x0 = x;
+      while (x < pw && row[x] == v) ++x;
+      if (v)
+        fg_runs.push_back({x0, x});
+      else
+        bg_runs.push_back({x0, x});
+    }
+    fg_off[y + 1] = static_cast<int32_t>(fg_runs.size());
+    bg_off[y + 1] = static_cast<int32_t>(bg_runs.size());
+  }
 
-  // 8-connected foreground labels (scan up-left neighbors).
-  DSU fg(n);
-  for (int y = 0; y < ph; ++y) {
-    for (int x = 0; x < pw; ++x) {
-      const size_t i = static_cast<size_t>(y) * pw + x;
-      if (!padded[i]) continue;
-      if (x > 0 && padded[i - 1]) fg.unite(i, i - 1);
-      if (y > 0) {
-        if (padded[i - pw]) fg.unite(i, i - pw);
-        if (x > 0 && padded[i - pw - 1]) fg.unite(i, i - pw - 1);
-        if (x + 1 < pw && padded[i - pw + 1]) fg.unite(i, i - pw + 1);
-      }
+  DSU fg(fg_runs.size());
+  DSU bg(bg_runs.size());
+  for (int y = 1; y < ph; ++y) {
+    // fg is 8-connected: a run links to prev-row runs overlapping its
+    // 1-dilated span [x0-1, x1+1).
+    int32_t a = fg_off[y - 1];
+    const int32_t a_end = fg_off[y];
+    for (int32_t b = fg_off[y]; b < fg_off[y + 1]; ++b) {
+      const int32_t lo = fg_runs[b].x0 - 1, hi = fg_runs[b].x1 + 1;
+      while (a < a_end && fg_runs[a].x1 <= lo) ++a;
+      for (int32_t t = a; t < a_end && fg_runs[t].x0 < hi; ++t)
+        fg.unite(b, t);
+    }
+    // bg is 4-connected: exact span overlap.
+    int32_t c = bg_off[y - 1];
+    const int32_t c_end = bg_off[y];
+    for (int32_t b = bg_off[y]; b < bg_off[y + 1]; ++b) {
+      const int32_t lo = bg_runs[b].x0, hi = bg_runs[b].x1;
+      while (c < c_end && bg_runs[c].x1 <= lo) ++c;
+      for (int32_t t = c; t < c_end && bg_runs[t].x0 < hi; ++t)
+        bg.unite(b, t);
     }
   }
-  // 4-connected background labels.
-  DSU bg(n);
-  for (int y = 0; y < ph; ++y) {
-    for (int x = 0; x < pw; ++x) {
-      const size_t i = static_cast<size_t>(y) * pw + x;
-      if (padded[i]) continue;
-      if (x > 0 && !padded[i - 1]) bg.unite(i, i - 1);
-      if (y > 0 && !padded[i - pw]) bg.unite(i, i - pw);
-    }
-  }
+  // Padded row 0 is entirely background, so bg run 0 is the outer region.
   const int32_t outer_bg = bg.find(0);
 
-  // Raster scan: first pixel of each fg component; external iff the
-  // background left of it belongs to the outer region.
+  // Components in raster order (first run = raster-first pixel); external
+  // iff the background pixel left of that first pixel is the outer region.
   std::vector<std::vector<Point>> contours;
-  std::vector<int32_t> seen_roots;
+  std::vector<uint8_t> seen(fg_runs.size(), 0);
   for (int y = 1; y < ph - 1; ++y) {
-    for (int x = 1; x < pw - 1; ++x) {
-      const size_t i = static_cast<size_t>(y) * pw + x;
-      if (!padded[i]) continue;
-      const int32_t root = fg.find(static_cast<int32_t>(i));
-      bool first = true;
-      for (int32_t r : seen_roots)
-        if (r == root) {
-          first = false;
-          break;
-        }
-      if (!first) continue;
-      seen_roots.push_back(root);
-      if (bg.find(static_cast<int32_t>(i - 1)) != outer_bg) continue;
-      contours.push_back(approx_simple(trace_outer(padded, pw, x, y)));
+    for (int32_t b = fg_off[y]; b < fg_off[y + 1]; ++b) {
+      const int32_t root = fg.find(b);
+      if (seen[root]) continue;
+      seen[root] = 1;
+      const int x0 = fg_runs[b].x0;  // >= 1: padded col 0 is bg
+      // bg run of row y containing x0-1: the last with run.x0 <= x0-1.
+      int32_t lo_i = bg_off[y], hi_i = bg_off[y + 1];
+      while (hi_i - lo_i > 1) {
+        const int32_t mid = lo_i + (hi_i - lo_i) / 2;
+        if (bg_runs[mid].x0 <= x0 - 1)
+          lo_i = mid;
+        else
+          hi_i = mid;
+      }
+      if (bg.find(lo_i) != outer_bg) continue;
+      contours.push_back(approx_simple(trace_outer(padded, pw, x0, y)));
     }
   }
   // OpenCV returns reverse discovery order.

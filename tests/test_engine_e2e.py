@@ -429,3 +429,26 @@ def test_all_device_serving_mode(tmp_path):
     a = cv2.imread(str(tmp_path / "host" / "d_mask.png"), cv2.IMREAD_GRAYSCALE)
     b = cv2.imread(str(tmp_path / "dev" / "d_mask.png"), cv2.IMREAD_GRAYSCALE)
     np.testing.assert_array_equal(a, b)
+
+
+def test_window_mode_unaligned_sizes(tmp_path):
+    """--window on images whose clamped window is not divisible by the
+    UNet's stem*2^depth alignment: the engine aligns the window down and
+    edge-pads images smaller than one window (round-3 guard — previously a
+    reshape/concat crash for both stem and plain geometries)."""
+    import jax
+
+    from unetseg_tpu.engine import InferenceEngine
+    from unetseg_tpu.models import unet
+
+    for cfg in (SMALL,
+                ModelConfig(stem=2, depth=2, base_channels=8, image_size=64,
+                            compute_dtype="float32")):
+        params = unet.init(jax.random.key(0), cfg)
+        eng = InferenceEngine(params, cfg)
+        rng = np.random.default_rng(3)
+        for shape in ((70, 63), (33, 90), (17, 15)):
+            u8 = rng.integers(0, 256, shape, np.uint8)
+            m = np.asarray(eng.infer_tiled(u8, 64, 16))
+            assert m.shape == shape
+            assert set(np.unique(m)) <= {0, 1, 2}

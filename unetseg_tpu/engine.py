@@ -219,19 +219,45 @@ class InferenceEngine:
 
     def infer_tiled(self, u8_2d: np.ndarray, window: int,
                     overlap: int) -> jax.Array:
-        """Sliding-window inference at native resolution (BASELINE config 3)."""
+        """Sliding-window inference at native resolution (BASELINE config 3).
+
+        The window is aligned down to a multiple of ``stem * 2**depth`` (the
+        UNet's pool/stem divisibility requirement — an unaligned window
+        breaks the skip-concat shapes); images smaller than one aligned
+        window are edge-padded for the pass and the mask cropped back."""
         h, w = u8_2d.shape
+        align = self.cfg.stem * (2 ** self.cfg.depth)
         window = min(window, h, w)   # window larger than the image: one tile
+        window = max(align, window - window % align)
         overlap = min(overlap, window - 1) if window > 1 else 0
-        key = ("tiled", u8_2d.shape, window, overlap)
+        pad_h = max(0, window - h)
+        pad_w = max(0, window - w)
+        padded = bool(pad_h or pad_w)
+        if padded:
+            u8_2d = np.pad(np.asarray(u8_2d), ((0, pad_h), (0, pad_w)),
+                           mode="edge")
+        # When padding applies, the device cleanup must see the CROPPED
+        # mask (its 6%-of-image area threshold is size-dependent), so the
+        # in-pipeline postprocess is deferred to a crop-then-clean step.
+        dev_post = self.device_postprocess and not padded
+        key = ("tiled", u8_2d.shape, window, overlap, dev_post)
         if key not in self._compiled:
             from unetseg_tpu.parallel import tiles
 
             self._compiled[key] = tiles.make_tiled_pipeline(
                 self.cfg, window=window, overlap=overlap,
-                device_postprocess=self.device_postprocess,
+                device_postprocess=dev_post,
             )
-        return self._compiled[key](self.params, self._put(u8_2d))
+        out = self._compiled[key](self.params, self._put(u8_2d))
+        if padded:
+            out = out[:h, :w]
+            if self.device_postprocess:
+                from unetseg_tpu.ops import postprocess as device_post
+
+                on_tpu = jax.devices()[0].platform == "tpu"
+                out = device_post.postprocess_mask_jit(
+                    out, use_pallas_cc=on_tpu)
+        return out
 
 
 # --------------------------------------------------------------------------
