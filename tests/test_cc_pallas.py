@@ -144,3 +144,15 @@ def test_propagate_min_pallas_regions():
     assert (out[2:5, 2:10] == 42).all()
     assert (out[10:14, 1:6] == 7).all()
     assert (out[~fg] == 999).all()
+
+
+def test_postprocess_v3_odd_shapes():
+    """Non-square, non-aligned shapes (reached in production via the
+    sliding-window crop path, engine.infer_tiled): fast path == oracle."""
+    rng = np.random.default_rng(21)
+    for shape in ((70, 63), (33, 90), (17, 15), (64, 1)):
+        m = (rng.random(shape) > 0.4).astype(np.uint8) * 2
+        v1 = np.asarray(postprocess.postprocess_mask(jnp.asarray(m)))
+        v2 = np.asarray(postprocess.postprocess_mask(
+            jnp.asarray(m), use_pallas_cc=True, interpret=True))
+        np.testing.assert_array_equal(v1, v2, err_msg=str(shape))
