@@ -61,7 +61,8 @@ def main():
     u8v = np.stack([preprocess.preprocess_oracle_u8(r, 512) for r in raws])
     xv = (u8v.astype(np.float32) / 255.0)[..., None]
 
-    for name, ckpt in [("slim", "models/flagship_slim.ckpt"),
+    for name, ckpt in [("slim4", "models/flagship_slim4.ckpt"),
+                       ("slim", "models/flagship_slim.ckpt"),
                        ("flagship", "models/flagship_synth.ckpt")]:
         src = os.path.join(REPO, ckpt)
         if not os.path.exists(src):

@@ -443,6 +443,8 @@ def test_window_mode_unaligned_sizes(tmp_path):
 
     for cfg in (SMALL,
                 ModelConfig(stem=2, depth=2, base_channels=8, image_size=64,
+                            compute_dtype="float32"),
+                ModelConfig(stem=4, depth=2, base_channels=8, image_size=64,
                             compute_dtype="float32")):
         params = unet.init(jax.random.key(0), cfg)
         eng = InferenceEngine(params, cfg)

@@ -50,7 +50,7 @@ def test_up2_w8a8_exact_on_integer_grid():
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
 
 
-@pytest.mark.parametrize("stem", [1, 2])
+@pytest.mark.parametrize("stem", [1, 2, 4])
 def test_w8a8_close_to_f32_on_trained_model(stem, tmp_path):
     """Train a tiny model, quantize it, and require high mask agreement —
     the PTQ accuracy contract in miniature."""
