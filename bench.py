@@ -83,7 +83,11 @@ def main() -> int:
         params = jax.jit(unet.init, static_argnums=(1,))(jax.random.key(0), cfg)
         serving = "random-init"
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    # Serving batch: 128 is the measured dispatch-amortization sweet spot
+    # for the slim4 geometry (benchmarks/RESULTS_r3.md batch-scaling table;
+    # throughput flattens at 256). Host cleanup (0.99 ms/mask C++) still
+    # fits production hosts' ~14 cores/chip at this rate.
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 
     # The production device program (engine.py _pipeline): normalize -> UNet
     # -> argmax decode.  Mask cleanup runs on the host (C++ union-find,
@@ -210,6 +214,7 @@ def main() -> int:
         "unit": "slices/sec",
         "vs_baseline": round(slices_per_sec / baseline, 3),
         "serving_checkpoint": serving,
+        "serving_batch": batch,
         "fg_iou": round(fg_iou, 4) if fg_iou is not None else None,
         "fg_iou_min": round(fg_min, 4) if fg_min is not None else None,
         "parity_polygon_iou": round(parity, 4) if parity is not None else None,
