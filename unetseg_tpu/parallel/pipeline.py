@@ -65,8 +65,31 @@ def _load_batch(paths: Sequence[str], width: int, height: int,
     return jax.device_put(out) if to_device else out
 
 
+def _pack_mask2(mask: jax.Array) -> jax.Array:
+    """(N, H, W) class mask in {0,1,2} -> (N, H, W/4) uint8, 2 bits/pixel.
+
+    Quarters the device->host mask bytes — the D2H link (PCIe, or the dev
+    tunnel) is the study pipeline's widest per-batch transfer."""
+    n, h, w = mask.shape
+    m = mask.astype(jnp.uint8).reshape(n, h, w // 4, 4)
+    return (m[..., 0] | (m[..., 1] << 2) | (m[..., 2] << 4)
+            | (m[..., 3] << 6))
+
+
+def _unpack_mask2(packed: np.ndarray) -> np.ndarray:
+    """Host inverse of :func:`_pack_mask2` (vectorized numpy)."""
+    n, h, w4 = packed.shape
+    out = np.empty((n, h, w4, 4), np.uint8)
+    out[..., 0] = packed & 3
+    out[..., 1] = (packed >> 2) & 3
+    out[..., 2] = (packed >> 4) & 3
+    out[..., 3] = (packed >> 6) & 3
+    return out.reshape(n, h, w4 * 4)
+
+
 @functools.lru_cache(maxsize=None)
-def _device_stage(cfg: ModelConfig, u8_input: bool = False):
+def _device_stage(cfg: ModelConfig, u8_input: bool = False,
+                  pack_masks: bool = False):
     """One jitted device program per config — cached at module scope so
     repeated run_study / measure_p50_latency calls reuse the executable
     instead of re-jitting (and re-compiling, ~30 s through a tunneled
@@ -74,7 +97,8 @@ def _device_stage(cfg: ModelConfig, u8_input: bool = False):
 
     ``u8_input=True`` takes already-preprocessed u8 slices (host bit-exact
     path) — halves the host->device bytes, the binding resource on
-    PCIe/tunnel-constrained hosts (RESULTS_r2.md)."""
+    PCIe/tunnel-constrained hosts (RESULTS_r2.md).  ``pack_masks=True``
+    additionally returns the class mask packed 4 pixels/byte (D2H side)."""
     size = cfg.image_size
 
     @jax.jit
@@ -85,7 +109,10 @@ def _device_stage(cfg: ModelConfig, u8_input: bool = False):
         else:
             u8, x = preprocess.preprocess_batch(raws, size)
         logits = model_registry.apply(params, x, cfg)
-        return u8, decode.decode_mask(logits, cfg.num_classes)
+        mask = decode.decode_mask(logits, cfg.num_classes)
+        if pack_masks:
+            mask = _pack_mask2(mask)
+        return u8, mask
 
     return device_stage
 
@@ -118,7 +145,9 @@ def run_study(
     # threads and ship u8 — halves H2D bytes (2x study throughput where the
     # host->device link binds) and makes the normalized artifact the
     # reference's exact bytes.
-    device_stage = _device_stage(cfg, u8_input=host_preprocess)
+    pack = size % 4 == 0  # 2-bit mask packing quarters the D2H bytes
+    device_stage = _device_stage(cfg, u8_input=host_preprocess,
+                                 pack_masks=pack)
 
     n = len(slice_paths)
     batches = [
@@ -165,7 +194,10 @@ def run_study(
 
         def drain(entry):
             u8_dev, masks_dev, idxs = entry
-            masks = native.postprocess_batch(np.asarray(masks_dev))
+            masks = np.asarray(masks_dev)
+            if pack:
+                masks = _unpack_mask2(masks)
+            masks = native.postprocess_batch(masks)
             for j, k in enumerate(idxs):
                 if keep_masks:
                     masks_out[k] = masks[j]
