@@ -192,6 +192,19 @@ def main() -> int:
     dt = (time.perf_counter() - t0) / 5
     report["c5_tta8_ensemble_ms_per_slice"] = round(dt * 1000, 1)
 
+    # batched TTA: 16 slices x 8 views as one program (dispatch amortized)
+    u8_16 = jnp.asarray(np.stack(
+        [(synth_slice(rng, 512)[0] >> 8).astype(np.uint8) for _ in range(16)]))
+    fnb5 = tta.make_tta_batch_pipeline(cfg, device_postprocess=False)
+    out = fnb5(params, u8_16)
+    sync1(out)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = fnb5(params, u8_16)
+    sync1(out)
+    dtb5 = (time.perf_counter() - t0) / 5
+    report["c5_tta8_batched16_ms_per_slice"] = round(dtb5 * 1000 / 16, 2)
+
     line = json.dumps(report, sort_keys=True)
     print(line)
     if args.out:

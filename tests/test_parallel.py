@@ -251,3 +251,15 @@ def test_single_device_pinned_engine():
                                         devices=[jax.devices()[0]])
     np.testing.assert_array_equal(np.asarray(mask),
                                   np.asarray(e_default.infer(u8)))
+
+
+def test_tta_batch_matches_per_slice(params):
+    """Batched 8-fold TTA (one program for N slices) == per-slice TTA."""
+    fn1 = tta.make_tta_pipeline(SMALL, device_postprocess=False)
+    fnb = tta.make_tta_batch_pipeline(SMALL, device_postprocess=False)
+    rng = np.random.default_rng(17)
+    u8 = rng.integers(0, 256, size=(3, 64, 64), dtype=np.uint8)
+    got = np.asarray(fnb(params, jnp.asarray(u8)))
+    want = np.stack([np.asarray(fn1(params, jnp.asarray(u8[i])))
+                     for i in range(3)])
+    np.testing.assert_array_equal(got, want)

@@ -475,14 +475,17 @@ def process_single_image(raw_path: str, width: int, height: int,
 # --------------------------------------------------------------------------
 
 def process_batch(raw_paths: List[str], width: int, height: int,
-                  output_dirs: List[str], batch_size: int = 32,
+                  output_dirs: List[str], batch_size: int = 128,
                   eng: Optional[InferenceEngine] = None) -> Tuple[int, int]:
     """Batched pipeline over same-sized RAW slices.
 
     Host loads + device-fused preprocess + batched UNet + postprocess, with
     JAX async dispatch double-buffering device work against host PNG/JSON
     emission.  Returns (success, fail) counts; per-image failures do not
-    abort the batch (parity with src/main.cpp:159-163).
+    abort the batch (parity with src/main.cpp:159-163).  The default batch
+    of 128 is the measured dispatch-amortization sweet spot for the slim4
+    serving geometry (benchmarks/RESULTS_r3.md); smaller directories
+    compile their own (persistently cached) tail-size executables.
     """
     eng = eng or get_engine()
     if eng is None:

@@ -49,6 +49,46 @@ def tta_logits(params, img_f32: jax.Array, cfg: ModelConfig) -> jax.Array:
     return jnp.mean(undone, axis=0)
 
 
+def make_tta_batch_pipeline(cfg: ModelConfig, mesh=None,
+                            device_postprocess=False):
+    """jitted (params, u8 (N,H,W)) -> masks (N,H,W): 8-fold TTA over a
+    BATCH of slices as ONE program (N*8 model rows), amortizing the
+    per-dispatch round trip the per-slice ensemble pays — the same lever
+    as the serving batch (RESULTS_r3.md batch-scaling table).  With a
+    mesh, the flat N*8 batch shards over ``dp``."""
+
+    def pipeline(params, u8b):
+        x = u8b.astype(jnp.float32) / 255.0              # (N, H, W)
+        views = jnp.stack(
+            [jax.vmap(lambda im, kk=k: dihedral(im, kk))(x)
+             for k in range(N_TRANSFORMS)], axis=1)       # (N, 8, H, W)
+        n, t, h, w = views.shape
+        flat = views.reshape(n * t, h, w)[..., None]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            flat = jax.lax.with_sharding_constraint(
+                flat, NamedSharding(mesh, P("dp")))
+        logits = model_registry.apply(params, flat, cfg)
+        logits = logits.reshape(n, t, h, w, -1)
+        undone = jnp.stack(
+            [jax.vmap(lambda lg, kk=k: dihedral_inverse(lg, kk))(
+                logits[:, k]) for k in range(N_TRANSFORMS)], axis=1)
+        mask = decode.decode_mask(jnp.mean(undone, axis=1),
+                                  cfg.num_classes)
+        if device_postprocess:
+            import functools
+
+            from unetseg_tpu.parallel.batch import _device_cc
+
+            mask = jax.vmap(functools.partial(
+                postprocess.postprocess_mask,
+                use_pallas_cc=_device_cc()))(mask)
+        return mask
+
+    return jax.jit(pipeline)
+
+
 def make_tta_pipeline(cfg: ModelConfig, mesh=None, device_postprocess=True):
     """jitted (params, u8 (H,W)) -> mask with 8-fold TTA ensemble.
 
