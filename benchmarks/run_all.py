@@ -205,6 +205,19 @@ def main() -> int:
     dtb5 = (time.perf_counter() - t0) / 5
     report["c5_tta8_batched16_ms_per_slice"] = round(dtb5 * 1000 / 16, 2)
 
+    # weight-space TTA (tta.transform_params_dihedral): the ensemble as 8
+    # transformed-weight passes over untransposed activations — the
+    # production config-5 path (engine.infer_tta)
+    fnw5 = tta.make_tta_weightspace_pipeline(cfg, device_postprocess=False)
+    out = fnw5(params, u8_16)
+    sync1(out)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = fnw5(params, u8_16)
+    sync1(out)
+    dtw5 = (time.perf_counter() - t0) / 5
+    report["c5_tta8_weightspace16_ms_per_slice"] = round(dtw5 * 1000 / 16, 2)
+
     line = json.dumps(report, sort_keys=True)
     print(line)
     if args.out:

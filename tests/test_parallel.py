@@ -263,3 +263,46 @@ def test_tta_batch_matches_per_slice(params):
     want = np.stack([np.asarray(fn1(params, jnp.asarray(u8[i])))
                      for i in range(3)])
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("cfg", [
+    SMALL,
+    ModelConfig(stem=2, depth=2, base_channels=8, image_size=64,
+                compute_dtype="float32"),
+    ModelConfig(stem=4, depth=2, base_channels=8, image_size=64,
+                compute_dtype="float32"),
+], ids=["plain", "stem2", "stem4"])
+def test_weightspace_tta_matches_activation_tta(cfg):
+    """Dihedral equivariance: 8 transformed-weight passes over the SAME
+    input == the activation-space 8-view ensemble (logit-level check via
+    identical masks; logits compared to fp tolerance)."""
+    from unetseg_tpu.models import registry as model_registry
+
+    params = unet.init(jax.random.key(5), cfg)
+    rng = np.random.default_rng(23)
+    u8 = rng.integers(0, 256, size=(2, 64, 64), dtype=np.uint8)
+    x = (u8.astype(np.float32) / 255.0)[..., None]
+
+    # activation-space reference logits
+    ref = np.zeros((2, 64, 64, cfg.num_classes), np.float32)
+    for k in range(tta.N_TRANSFORMS):
+        xv = np.stack([np.asarray(tta.dihedral(jnp.asarray(x[i, ..., 0]), k))
+                       for i in range(2)])[..., None]
+        lg = np.asarray(model_registry.apply(params, jnp.asarray(xv), cfg))
+        ref += np.stack([np.asarray(tta.dihedral_inverse(jnp.asarray(lg[i]), k))
+                         for i in range(2)])
+    ref /= tta.N_TRANSFORMS
+
+    ws = np.zeros_like(ref)
+    for k in range(tta.N_TRANSFORMS):
+        th = tta.transform_params_dihedral(params, cfg, k)
+        ws += np.asarray(model_registry.apply(th, jnp.asarray(x), cfg))
+    ws /= tta.N_TRANSFORMS
+    np.testing.assert_allclose(ws, ref, atol=2e-4, rtol=1e-3)
+
+    fn = tta.make_tta_weightspace_pipeline(cfg)
+    fn1 = tta.make_tta_pipeline(cfg, device_postprocess=False)
+    got = np.asarray(fn(params, jnp.asarray(u8)))
+    want = np.stack([np.asarray(fn1(params, jnp.asarray(u8[i])))
+                     for i in range(2)])
+    np.testing.assert_array_equal(got, want)

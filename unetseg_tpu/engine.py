@@ -207,15 +207,19 @@ class InferenceEngine:
         return compiled(self.params, u8)
 
     def infer_tta(self, u8_2d: np.ndarray) -> jax.Array:
-        """8-fold dihedral TTA ensemble on one slice (BASELINE config 5)."""
+        """8-fold dihedral TTA ensemble on one slice (BASELINE config 5).
+
+        Served by the weight-space formulation (tta.py: equivariance turns
+        the 8 views into 8 transformed-weight passes over untransposed
+        activations — measured faster and bit-identical masks)."""
         key = ("tta", u8_2d.shape)
         if key not in self._compiled:
             from unetseg_tpu.parallel import tta
 
-            self._compiled[key] = tta.make_tta_pipeline(
+            self._compiled[key] = tta.make_tta_weightspace_pipeline(
                 self.cfg, device_postprocess=self.device_postprocess
             )
-        return self._compiled[key](self.params, self._put(u8_2d))
+        return self._compiled[key](self.params, self._put(u8_2d)[None])[0]
 
     def infer_tiled(self, u8_2d: np.ndarray, window: int,
                     overlap: int) -> jax.Array:

@@ -12,6 +12,8 @@ parallelism table, row DP/TTA).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -47,6 +49,160 @@ def tta_logits(params, img_f32: jax.Array, cfg: ModelConfig) -> jax.Array:
         [dihedral_inverse(logits[k], k) for k in range(N_TRANSFORMS)]
     )
     return jnp.mean(undone, axis=0)
+
+
+def _kernel_dihedral_inv(w, k: int):
+    """Inverse dihedral on a HWIO kernel's spatial dims (the exact conv /
+    conv_transpose equivariance partner of :func:`dihedral` on NHWC
+    activations — derived and verified in tests/test_parallel.py)."""
+    if k >= 4:
+        w = jnp.flip(w, axis=1)
+    return jnp.rot90(w, -(k % 4), axes=(0, 1))
+
+
+def _np_dihedral(a, k):
+    """Pure-numpy dihedral on (H, W, C) — perm derivation must stay out of
+    any active jit trace (jnp ops would become tracers)."""
+    import numpy as np
+
+    out = np.rot90(a, k % 4, axes=(0, 1))
+    if k >= 4:
+        out = np.flip(out, axis=1)
+    return out
+
+
+def _np_dihedral_inv(a, k):
+    import numpy as np
+
+    if k >= 4:
+        a = np.flip(a, axis=1)
+    return np.rot90(a, -(k % 4), axes=(0, 1))
+
+
+def _np_s2d(x, r):
+    h, w, c = x.shape
+    x = x.reshape(h // r, r, w // r, r, c)
+    return x.transpose(0, 2, 1, 3, 4).reshape(h // r, w // r, r * r * c)
+
+
+def _np_d2s(x, r):
+    h, w, c = x.shape
+    x = x.reshape(h, w, r, r, c // (r * r))
+    return x.transpose(0, 2, 1, 3, 4).reshape(h * r, w * r, c // (r * r))
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_perm(r: int, k: int):
+    """perm with s2d(dihedral(x, k))[..., i] == dihedral(s2d(x, r), k)[..., perm[i]]."""
+    import numpy as np
+
+    h = 4 * r
+    x = np.arange(h * h, dtype=np.float32).reshape(h, h, 1)
+    a = _np_s2d(_np_dihedral(x, k), r)
+    b = _np_dihedral(_np_s2d(x, r), k)
+    perm = []
+    for i in range(r * r):
+        js = [j for j in range(r * r) if np.array_equal(a[..., i], b[..., j])]
+        assert len(js) == 1
+        perm.append(js[0])
+    return tuple(perm)
+
+
+@functools.lru_cache(maxsize=None)
+def _d2s_perm(r: int, c: int, k: int):
+    """perm with dihedral_inverse(d2s(dihedral-frame y)) == d2s(y[..., perm])."""
+    import numpy as np
+
+    rng = np.random.default_rng(12345)
+    y = rng.standard_normal((4, 4, c * r * r)).astype(np.float32)
+    perm = []
+    for i in range(c * r * r):
+        yi = np.zeros_like(y)
+        yi[..., i] = y[..., i]
+        ai = _np_dihedral_inv(_np_d2s(_np_dihedral(yi, k), r), k)
+        js = []
+        for j in range(c * r * r):
+            yj = np.zeros_like(y)
+            yj[..., j] = y[..., i]
+            if np.allclose(_np_d2s(yj, r), ai):
+                js.append(j)
+        assert len(js) == 1, (r, c, k, i, js)
+        perm.append(js[0])
+    return tuple(perm)
+
+
+def transform_params_dihedral(params, cfg: ModelConfig, k: int):
+    """θ_k with ``apply(θ_k, x) == dihedral_inverse(apply(θ, dihedral(x)))``.
+
+    Weight-space TTA: conv/pool/concat/s2d/d2s are dihedral-equivariant, so
+    the 8-view ensemble becomes 8 runs of the SAME untransposed input
+    through transformed weights — no activation rot90/flip traffic at all
+    (the measured cost of the view-batched ensemble).  Kernels get the
+    inverse dihedral on their spatial dims; a stem>1 model additionally
+    permutes the first conv's input channels (s2d block positions move
+    under rotation) and the head's output channels (d2s inverse)."""
+    def tw(site):
+        return {**site, "w": _kernel_dihedral_inv(site["w"], k)}
+
+    out = {
+        "encoder": [
+            {"conv1": tw(s["conv1"]), "conv2": tw(s["conv2"])}
+            for s in params["encoder"]
+        ],
+        "bottleneck": {
+            "conv1": tw(params["bottleneck"]["conv1"]),
+            "conv2": tw(params["bottleneck"]["conv2"]),
+        },
+        "decoder": [
+            {"up": tw(s["up"]), "conv1": tw(s["conv1"]),
+             "conv2": tw(s["conv2"])}
+            for s in params["decoder"]
+        ],
+        "head": tw(params["head"]),
+    }
+    if cfg.stem > 1:
+        import numpy as np
+
+        # gather with the INVERSE perms: the first conv must read the
+        # channel that lands in each s2d slot under rotation, and the head
+        # must emit into the slot d2s reads for each subpixel.
+        perm_in = jnp.asarray(np.argsort(_s2d_perm(cfg.stem, k)))
+        w0 = out["encoder"][0]["conv1"]["w"]
+        out["encoder"][0]["conv1"] = {
+            **out["encoder"][0]["conv1"], "w": w0[:, :, perm_in, :]}
+        perm_out = jnp.asarray(np.argsort(
+            _d2s_perm(cfg.stem, cfg.num_classes, k)))
+        hw = out["head"]["w"]
+        out["head"] = {"w": hw[..., perm_out],
+                       "b": out["head"]["b"][perm_out]}
+    return out
+
+
+def make_tta_weightspace_pipeline(cfg: ModelConfig,
+                                  device_postprocess=False):
+    """jitted (params, u8 (N,H,W)) -> masks: the 8-fold ensemble via
+    :func:`transform_params_dihedral` — 8 model passes over the SAME
+    activations, zero view transposes."""
+
+    def pipeline(params, u8b):
+        x = (u8b.astype(jnp.float32) / 255.0)[..., None]
+        acc = None
+        for k in range(N_TRANSFORMS):
+            logits = model_registry.apply(
+                transform_params_dihedral(params, cfg, k), x, cfg)
+            acc = logits if acc is None else acc + logits
+        mask = decode.decode_mask(acc / N_TRANSFORMS, cfg.num_classes)
+        if device_postprocess:
+            import functools as _ft
+
+            from unetseg_tpu.parallel.batch import _device_cc
+
+            mask = jax.vmap(_ft.partial(
+                postprocess.postprocess_mask,
+                use_pallas_cc=_device_cc()))(mask)
+        return mask
+
+    return jax.jit(pipeline)
 
 
 def make_tta_batch_pipeline(cfg: ModelConfig, mesh=None,
