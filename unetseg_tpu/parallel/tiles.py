@@ -64,32 +64,37 @@ def extract_windows(img: jax.Array, window: int, stride: int) -> jax.Array:
     return jnp.stack(tiles)
 
 
+@functools.lru_cache(maxsize=32)
+def _inv_weight_sum(h: int, w: int, window: int, stride: int) -> np.ndarray:
+    """1 / (summed Hann coverage) — a trace-time constant (h, w, 1)."""
+    weight = _hann_weight(window)
+    wsum = np.zeros((h, w), np.float32)
+    for y in window_grid(h, window, stride):
+        for x in window_grid(w, window, stride):
+            wsum[y:y + window, x:x + window] += weight
+    return (1.0 / wsum)[..., None]
+
+
 def blend_windows(logit_tiles: jax.Array, h: int, w: int, window: int,
                   stride: int) -> jax.Array:
-    """(n, window, window, C) -> (h, w, C) weighted-blended logit canvas."""
+    """(n, window, window, C) -> (h, w, C) weighted-blended logit canvas.
+
+    Each weighted tile is zero-padded to the full canvas with STATIC
+    offsets and the stack summed — no sequential read-modify-write chain
+    (the dynamic_update_slice formulation serialized 2n canvas-sized
+    copies); the Hann coverage normalizer folds to a trace-time constant.
+    """
     ys = window_grid(h, window, stride)
     xs = window_grid(w, window, stride)
-    weight = jnp.asarray(_hann_weight(window))
-    c = logit_tiles.shape[-1]
-    canvas = jnp.zeros((h, w, c), jnp.float32)
-    wsum = jnp.zeros((h, w, 1), jnp.float32)
-    k = 0
-    for y in ys:
-        for x in xs:
-            canvas = jax.lax.dynamic_update_slice(
-                canvas,
-                jax.lax.dynamic_slice(canvas, (y, x, 0), (window, window, c))
-                + logit_tiles[k] * weight[..., None],
-                (y, x, 0),
-            )
-            wsum = jax.lax.dynamic_update_slice(
-                wsum,
-                jax.lax.dynamic_slice(wsum, (y, x, 0), (window, window, 1))
-                + weight[..., None],
-                (y, x, 0),
-            )
-            k += 1
-    return canvas / wsum
+    weight = jnp.asarray(_hann_weight(window))[..., None]
+    padded = [
+        jax.lax.pad(
+            logit_tiles[k] * weight, jnp.float32(0),
+            ((y, h - window - y, 0), (x, w - window - x, 0), (0, 0, 0)))
+        for k, (y, x) in enumerate((y, x) for y in ys for x in xs)
+    ]
+    canvas = jnp.sum(jnp.stack(padded), axis=0)
+    return canvas * jnp.asarray(_inv_weight_sum(h, w, window, stride))
 
 
 def sliding_window_logits(params, img_f32: jax.Array, cfg: ModelConfig,
