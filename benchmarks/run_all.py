@@ -95,6 +95,17 @@ def main() -> int:
     sync1(m)
     dt = (time.perf_counter() - t0) / iters
     report["c2_batch32_device_slices_per_sec"] = round(32 / dt, 1)
+
+    # serving batch (128, the dispatch-amortization sweet spot; bench.py)
+    raws128 = jnp.asarray(np.repeat(raws, 4, axis=0))
+    m = dev(params, raws128)
+    sync1(m)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        m = dev(params, raws128)
+    sync1(m)
+    dt128 = (time.perf_counter() - t0) / 8
+    report["c2_serving_batch128_slices_per_sec"] = round(128 / dt128, 1)
     # per-class contour cost on realistic (ground-truth-shaped) masks — the
     # random-weight model's cleaned masks are empty, which would understate it
     _, labels32 = synth_batch(rng, 8, 512)
@@ -174,7 +185,7 @@ def main() -> int:
             p = f"{td}/s{i:04d}.raw"
             raw_io.write_raw(p, raws_np[i % raws_np.shape[0]])
             paths.append(p)
-        res = ppl.run_study(params, cfg, paths, 512, 512, batch_size=32,
+        res = ppl.run_study(params, cfg, paths, 512, 512, batch_size=128,
                             host_preprocess=True)
     report["c4_study_slices"] = n
     report["c4_study_slices_per_sec_e2e"] = round(res.slices_per_sec, 1)
