@@ -454,3 +454,33 @@ def test_window_mode_unaligned_sizes(tmp_path):
             m = np.asarray(eng.infer_tiled(u8, 64, 16))
             assert m.shape == shape
             assert set(np.unique(m)) <= {0, 1, 2}
+
+
+def test_tta_serves_every_registered_arch(tmp_path):
+    """infer_tta must work for every registry arch: the UNet family rides
+    the weight-space ensemble, unetpp/w8a8 fall back to the activation
+    ensemble (round-3 review fix — weight transforms only know UNet
+    pytrees)."""
+    import dataclasses
+
+    import jax
+
+    from unetseg_tpu import quantize
+    from unetseg_tpu.engine import InferenceEngine
+    from unetseg_tpu.models import registry as model_registry, unet
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (64, 64), np.uint8)
+
+    pp_cfg = dataclasses.replace(SMALL, arch="unetpp")
+    init, _ = model_registry.get("unetpp")
+    eng = InferenceEngine(init(jax.random.key(0), pp_cfg), pp_cfg)
+    assert np.asarray(eng.infer_tta(u8)).shape == (64, 64)
+
+    p32 = unet.init(jax.random.key(1), SMALL)
+    scales = quantize.calibrate(
+        p32, SMALL, [rng.random((2, 64, 64, 1)).astype(np.float32)])
+    q = quantize.quantize_params(p32, SMALL, scales)
+    qcfg = dataclasses.replace(SMALL, arch="unet_w8a8")
+    eng2 = InferenceEngine(q, qcfg)
+    assert np.asarray(eng2.infer_tta(u8)).shape == (64, 64)

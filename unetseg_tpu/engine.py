@@ -209,17 +209,26 @@ class InferenceEngine:
     def infer_tta(self, u8_2d: np.ndarray) -> jax.Array:
         """8-fold dihedral TTA ensemble on one slice (BASELINE config 5).
 
-        Served by the weight-space formulation (tta.py: equivariance turns
-        the 8 views into 8 transformed-weight passes over untransposed
-        activations — measured faster and bit-identical masks)."""
+        The UNet family is served by the weight-space formulation (tta.py:
+        equivariance turns the 8 views into 8 transformed-weight passes
+        over untransposed activations — measured faster and bit-identical
+        masks).  Other registered archs (unetpp, unet_w8a8) keep the
+        registry-dispatched activation-space ensemble, whose params the
+        weight transform does not know how to rewrite."""
         key = ("tta", u8_2d.shape)
         if key not in self._compiled:
             from unetseg_tpu.parallel import tta
 
-            self._compiled[key] = tta.make_tta_weightspace_pipeline(
-                self.cfg, device_postprocess=self.device_postprocess
-            )
-        return self._compiled[key](self.params, self._put(u8_2d)[None])[0]
+            if self.cfg.arch == "unet":
+                self._compiled[key] = ("ws", tta.make_tta_weightspace_pipeline(
+                    self.cfg, device_postprocess=self.device_postprocess))
+            else:
+                self._compiled[key] = ("act", tta.make_tta_pipeline(
+                    self.cfg, device_postprocess=self.device_postprocess))
+        kind, fn = self._compiled[key]
+        if kind == "ws":
+            return fn(self.params, self._put(u8_2d)[None])[0]
+        return fn(self.params, self._put(u8_2d))
 
     def infer_tiled(self, u8_2d: np.ndarray, window: int,
                     overlap: int) -> jax.Array:
@@ -538,28 +547,15 @@ def process_batch(raw_paths: List[str], width: int, height: int,
         (raw_paths[i: i + batch_size], output_dirs[i: i + batch_size])
         for i in range(0, len(raw_paths), batch_size)
     ]
-    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
+    from unetseg_tpu.parallel.pipeline import prefetch_map
+
     with ThreadPoolExecutor(max_workers=2) as loaders:
-        # Prefetch at most 2 chunks ahead of the device consumer — lazily
-        # submitted so completed u8 batches never accumulate unboundedly
-        # (peak host memory stays O(batch), not O(study)).
-        loads: deque = deque()
-        next_i = 0
-
-        def top_up():
-            nonlocal next_i
-            while next_i < len(chunks) and len(loads) < 2:
-                chunk, dirs = chunks[next_i]
-                loads.append((chunk, dirs, loaders.submit(load_chunk, chunk)))
-                next_i += 1
-
-        top_up()
-        while loads:
-            chunk, dirs, fut = loads.popleft()
-            u8s = fut.result()
-            top_up()
+        # Prefetch at most 2 chunks ahead of the device consumer (shared
+        # bounded-prefetch orchestration; peak host memory O(batch)).
+        for (chunk, dirs), u8s in prefetch_map(
+                loaders, lambda cd: load_chunk(cd[0]), chunks, 2):
             t_inf = time.perf_counter()
             masks = eng.infer(u8s)  # async dispatch overlaps host drain
             GLOBAL_LOG.record(

@@ -41,6 +41,33 @@ class StudyResult:
     per_slice_latency_s: List[float] = field(default_factory=list)
 
 
+def prefetch_map(pool, fn, items, depth: int):
+    """Run ``fn`` over ``items`` through ``pool``, keeping at most ``depth``
+    futures outstanding, yielding ``(item, result)`` in order.
+
+    The shared bounded-prefetch orchestration of ``run_study`` and
+    ``engine.process_batch``: lazy submission keeps peak host memory
+    O(depth * batch), not O(study), while the pool stays ahead of the
+    consumer (ADVICE r2)."""
+    from collections import deque
+
+    items = list(items)
+    q: deque = deque()
+    idx = 0
+
+    def top_up():
+        nonlocal idx
+        while idx < len(items) and len(q) < depth:
+            q.append((items[idx], pool.submit(fn, items[idx])))
+            idx += 1
+
+    top_up()
+    while q:
+        item, fut = q.popleft()
+        top_up()
+        yield item, fut.result()
+
+
 def _load_batch(paths: Sequence[str], width: int, height: int,
                 to_u8_size: Optional[int] = None,
                 pad_to: Optional[int] = None,
@@ -145,7 +172,10 @@ def run_study(
     # threads and ship u8 — halves H2D bytes (2x study throughput where the
     # host->device link binds) and makes the normalized artifact the
     # reference's exact bytes.
-    pack = size % 4 == 0  # 2-bit mask packing quarters the D2H bytes
+    # 2-bit mask packing quarters the D2H bytes; only sound when every
+    # class id fits 2 bits (the reference contract is 3 classes, but
+    # num_classes is a free config field)
+    pack = size % 4 == 0 and cfg.num_classes <= 4
     device_stage = _device_stage(cfg, u8_input=host_preprocess,
                                  pack_masks=pack)
 
@@ -167,28 +197,13 @@ def run_study(
     t0 = time.perf_counter()
     inference_s = 0.0
 
-    from collections import deque
+    def load(idxs):
+        return _load_batch([slice_paths[k] for k in idxs], width, height,
+                           size if host_preprocess else None,
+                           batch_size, True)
 
     with ThreadPoolExecutor(max_workers=loader_threads) as loaders, \
             ThreadPoolExecutor(max_workers=emitter_threads) as emitters:
-        # stage A: prefetch batch loads, lazily submitted so loaded batches
-        # never pile up ahead of the device consumer (peak host memory stays
-        # O(loader_threads * batch), not O(study))
-        loads: deque = deque()
-        next_b = 0
-
-        def top_up():
-            nonlocal next_b
-            while next_b < len(batches) and len(loads) <= loader_threads:
-                idxs = batches[next_b]
-                loads.append(loaders.submit(
-                    _load_batch, [slice_paths[k] for k in idxs], width,
-                    height, size if host_preprocess else None,
-                    batch_size, True))
-                next_b += 1
-
-        top_up()
-
         pending: List[Tuple[object, object, List[int]]] = []
         emit_futures = []
 
@@ -206,9 +221,9 @@ def run_study(
                         emitters.submit(emit, k, slice_paths[k], masks[j])
                     )
 
-        for bi, idxs in enumerate(batches):
-            raws = loads.popleft().result()  # already on device (loader H2D)
-            top_up()
+        for idxs, raws in prefetch_map(loaders, load, batches,
+                                       loader_threads + 1):
+            # raws already on device (loader-thread H2D)
             t_inf = time.perf_counter()
             u8_dev, masks_dev = device_stage(params, raws)
             pending.append((u8_dev, masks_dev, idxs))

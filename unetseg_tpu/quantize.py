@@ -116,14 +116,34 @@ def calibrate(params, cfg: ModelConfig, calib_batches) -> Dict[str, float]:
     @jax.jit
     def run(p, x):
         record = []
-        _forward_f32(p, x, cfg, record)
+        logits = _forward_f32(p, x, cfg, record)
         got = [n for n, _ in record]
         assert got == names, f"conv order mismatch: {got} vs {names}"
-        return jnp.stack([v for _, v in record])
+        return jnp.stack([v for _, v in record]), logits
 
     mx = np.zeros((len(names),), np.float64)
+    checked = False
     for xb in calib_batches:
-        mx = np.maximum(mx, np.asarray(run(params, jnp.asarray(xb))))
+        xb = jnp.asarray(xb)
+        scales, logits = run(params, xb)
+        if not checked:
+            # _forward_f32 hand-mirrors models/unet.apply so the recorded
+            # scales match the tensors the quantized forward will see; this
+            # guard turns any future drift between the two forwards into a
+            # loud calibration-time error instead of a silently
+            # mis-calibrated checkpoint.
+            import dataclasses
+
+            f32_cfg = dataclasses.replace(cfg, compute_dtype="float32")
+            ref = unet_mod.apply(
+                params, xb.astype(jnp.float32), f32_cfg).astype(jnp.float32)
+            drift = float(jnp.max(jnp.abs(logits - ref)))
+            if not drift < 1e-2:
+                raise AssertionError(
+                    f"calibration forward drifted from unet.apply "
+                    f"(max |delta| = {drift}); update quantize._forward_f32")
+            checked = True
+        mx = np.maximum(mx, np.asarray(scales))
     return {n: float(v) for n, v in zip(names, mx)}
 
 

@@ -108,6 +108,8 @@ class SegmentationService:
         self._partitions = max(1, int(partitions))
         self._engines: list = []        # checkout pool (partitioned mode)
         self._pool_cv = threading.Condition()
+        self._pool_gen = 0              # bumped by re-init: stale engines
+        self._outstanding = 0           # checked-out engines in flight
         self._count_lock = threading.Lock()
         self._server = _Server((host, port), _Handler)
         self._server.service = self  # type: ignore
@@ -168,12 +170,16 @@ class SegmentationService:
         """Tail of the structured timings log (timings.jsonl)."""
         from unetseg_tpu.utils.logger import GLOBAL_LOG
 
+        from collections import deque
+
         n = int(req.get("n", 20))
         path = GLOBAL_LOG.jsonl_path
         if not path or not os.path.exists(path):
             return {"ok": True, "records": []}
         with open(path) as f:
-            lines = f.readlines()[-n:]
+            # bounded tail: a long-lived daemon's timings.jsonl grows per
+            # image — never slurp the whole file for the last n records
+            lines = deque(f, maxlen=n)
         records = []
         for line in lines:
             try:
@@ -203,26 +209,38 @@ class SegmentationService:
         devs = jax.devices()
         n = min(self._partitions, len(devs))
         per = len(devs) // n
+        fresh = [
+            engine.InferenceEngine(
+                base.params, base.cfg, self._device_postprocess,
+                devices=devs[i * per:(i + 1) * per if i < n - 1 else None])
+            for i in range(n)
+        ]
         with self._pool_cv:
-            self._engines = [
-                engine.InferenceEngine(
-                    base.params, base.cfg, self._device_postprocess,
-                    devices=devs[i * per:(i + 1) * per if i < n - 1 else None])
-                for i in range(n)
-            ]
+            # re-init while requests are in flight: bump the generation so
+            # engines checked out against the OLD checkpoint are discarded
+            # on check-in instead of re-entering the pool
+            self._pool_gen += 1
+            self._engines = fresh
             self._n_built = n
             self._pool_cv.notify_all()
 
     def _checkout(self):
+        """(generation, engine) from the pool, or None when draining."""
         with self._pool_cv:
-            while not self._engines:
+            while True:
+                if self._draining:
+                    return None
+                if self._engines:
+                    self._outstanding += 1
+                    return self._pool_gen, self._engines.pop()
                 self._pool_cv.wait()
-            return self._engines.pop()
 
-    def _checkin(self, eng) -> None:
+    def _checkin(self, gen: int, eng) -> None:
         with self._pool_cv:
-            self._engines.append(eng)
-            self._pool_cv.notify()
+            self._outstanding -= 1
+            if gen == self._pool_gen:   # stale-generation engines drop
+                self._engines.append(eng)
+            self._pool_cv.notify_all()
 
     def _process(self, req: dict) -> dict:
         if engine.get_engine() is None:
@@ -238,9 +256,13 @@ class SegmentationService:
         window = req.get("window")
 
         partitioned = self._partitions > 1
+        gen = None
         if partitioned:
-            eng = self._checkout()   # concurrent requests run in parallel,
-            lock = _NullLock()       # each on its own device subset
+            co = self._checkout()    # concurrent requests run in parallel,
+            if co is None:           # each on its own device subset
+                return {"ok": False, "error": "shutting down"}
+            gen, eng = co
+            lock = _NullLock()
         else:
             eng = None               # global engine, serialized by the lock
             lock = self._lock
@@ -271,7 +293,7 @@ class SegmentationService:
                     {"ok": False, "error": f"processing failed for {path}"}
         finally:
             if partitioned:
-                self._checkin(eng)
+                self._checkin(gen, eng)
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -295,13 +317,15 @@ class SegmentationService:
         self._server.server_close()
         # graceful drain: wait for any in-flight device work before tearing
         # the engine down under it (shutdown-vs-inflight race, VERDICT r2).
-        # Partitioned mode drains by waiting for every engine to check back
-        # into the pool.
+        # Partitioned mode drains by waiting for every checked-out engine to
+        # check back in (stale-generation engines count too — they decrement
+        # _outstanding on check-in even though they don't rejoin the pool).
         if getattr(self, "_n_built", 0):
             with self._pool_cv:
-                while len(self._engines) < self._n_built:
+                while self._outstanding > 0:
                     self._pool_cv.wait()
                 self._engines = []
+                self._pool_cv.notify_all()
         with self._lock:
             engine.cleanup_resources()
 
