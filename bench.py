@@ -5,10 +5,10 @@ Measures the dense device path the framework deploys — u8 normalize ->
 UNet -> argmax decode — as one XLA executable, batch-32, on whatever backend
 JAX selects (the driver runs this on one real TPU chip).  The serving model
 is the best distilled student present (models/flagship_slim4.ckpt: stem=4
-base-96, then models/flagship_slim.ckpt: space-to-depth stem, all
-internals at 256², distilled from the 512² flagship teacher to >=0.999 mask
-agreement); it falls back to the flagship and then to random init when
-checkpoints are absent.  Mask cleanup runs on the host in production,
+space-to-depth, base-64 depth-2, all internals at 128²; then
+models/flagship_slim.ckpt: stem=2, internals at 256² — both distilled from
+the 512² flagship teacher to >=0.999 mask agreement); it falls back to the
+flagship and then to random init when checkpoints are absent.  Mask cleanup runs on the host in production,
 pipelined off the device's critical path (see the comment in main()).
 
 Prints ONE JSON line covering the BASELINE.md metrics:

@@ -534,14 +534,26 @@ def process_batch(raw_paths: List[str], width: int, height: int,
         # Bit-exact host preprocess (the serial path's C++ resample+quantize,
         # src/preprocess.cpp:76): batch artifacts are byte-identical to
         # process_single_image's, and only u8 crosses to the device (half
-        # the H2D bytes, no u8 D2H round-trip).  A ragged tail stays ragged:
-        # infer() compiles a tail-size executable (cached persistently), so
-        # a 33-file directory runs 32+1, not 32+32.
-        return np.stack([
+        # the H2D bytes, no u8 D2H round-trip).  A ragged tail is padded up
+        # to the next power-of-two bucket (last slice repeated; pad rows are
+        # dropped at drain) so arbitrary directory sizes compile at most
+        # log2(batch_size) executables instead of one per distinct remainder
+        # — a cold cache through a tunneled backend pays ~30 s per unique
+        # shape (ADVICE r3).
+        u8s = np.stack([
             native.preprocess_u8(
                 np.asarray(raw_io.read_raw(p, width, height)), eng.size)
             for p in chunk
         ])
+        n = u8s.shape[0]
+        if n < batch_size:
+            bucket = 1
+            while bucket < n:
+                bucket *= 2
+            if bucket > n:
+                u8s = np.concatenate(
+                    [u8s, np.repeat(u8s[-1:], bucket - n, axis=0)])
+        return u8s
 
     chunks = [
         (raw_paths[i: i + batch_size], output_dirs[i: i + batch_size])

@@ -19,8 +19,10 @@ N = 2·D = 128 lanes are full.  The trick that makes it free of gathers:
 
 The folded output (B, H, W/2, 2D) reshapes back to (B, H, W, D) contiguously.
 Accumulation is float32 in VMEM across all 6 dots; bias + ReLU fuse into the
-epilogue.  Used by models/unet.py for C·D < 128² levels when
-``ModelConfig.conv_impl == "fold2"`` (see _use_fold2).
+epilogue.  Retired research path: no longer dispatched from models/unet.py
+(the shipped students' geometries keep the MXU lanes full without folding —
+see docs/PERFORMANCE.md for the measurements behind the demotion); kept as
+the exemplar of the column-folding technique with its tests.
 
 Replaces the reference's TensorRT conv launches (/root/reference/
 src/process.cpp:147) on the shapes TensorRT would have auto-tuned.

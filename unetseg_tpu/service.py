@@ -46,6 +46,7 @@ import os
 import socket
 import socketserver
 import threading
+from contextlib import contextmanager
 from typing import Optional, Tuple
 
 from unetseg_tpu import engine
@@ -59,17 +60,23 @@ class _Handler(socketserver.StreamRequestHandler):
             line = line.strip()
             if not line:
                 continue
-            try:
-                req = json.loads(line)
-                resp = srv.dispatch(req)
-            except Exception as e:  # malformed JSON / internal error
-                resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-            # set the flag BEFORE the response hits the wire so a client
-            # that reads the reply and immediately checks state never races
-            if resp.get("shutdown"):
-                self.server.shutdown_requested = True  # type: ignore
-            self.wfile.write((json.dumps(resp) + "\n").encode())
-            self.wfile.flush()
+            # dispatch AND response write run inside the in-flight window so
+            # stop()'s drain covers the wfile.write — without this, handler
+            # threads are daemons and the process could exit between the
+            # device-lock release and the response hitting the wire
+            # (ADVICE r3: shutdown-vs-response race).
+            with srv._track_request():
+                try:
+                    req = json.loads(line)
+                    resp = srv.dispatch(req)
+                except Exception as e:  # malformed JSON / internal error
+                    resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+                # set the flag BEFORE the response hits the wire so a client
+                # that reads the reply and immediately checks state never races
+                if resp.get("shutdown"):
+                    self.server.shutdown_requested = True  # type: ignore
+                self.wfile.write((json.dumps(resp) + "\n").encode())
+                self.wfile.flush()
             if resp.get("shutdown"):
                 return
 
@@ -111,6 +118,11 @@ class SegmentationService:
         self._pool_gen = 0              # bumped by re-init: stale engines
         self._outstanding = 0           # checked-out engines in flight
         self._count_lock = threading.Lock()
+        self._inflight = 0              # handler requests mid dispatch/write
+        self._inflight_cv = threading.Condition()
+        self._detached = 0              # timed-out requests still running
+        self.max_detached = 8           # cap: repeated client timeouts must
+                                        # not starve the pool unboundedly
         self._server = _Server((host, port), _Handler)
         self._server.service = self  # type: ignore
         self._server.shutdown_requested = False  # type: ignore
@@ -144,26 +156,63 @@ class SegmentationService:
             return self._metrics(req)
         return {"ok": False, "error": f"unknown cmd: {cmd!r}"}
 
+    @contextmanager
+    def _track_request(self):
+        """In-flight window covering dispatch + response write (stop() joins
+        these before teardown so every accepted request gets its bytes)."""
+        with self._inflight_cv:
+            self._inflight += 1
+        try:
+            yield
+        finally:
+            with self._inflight_cv:
+                self._inflight -= 1
+                self._inflight_cv.notify_all()
+
     def _with_timeout(self, req: dict, fn) -> dict:
         """Bound a request by ``timeout_s`` (request field) or the service
         default.  Python threads cannot be killed, so an expired request
         keeps running detached (still serialized by the device lock); the
-        client gets an immediate, honest timeout error."""
+        client gets an immediate, honest timeout error.  At most
+        ``max_detached`` such zombies may be outstanding — beyond that new
+        timed requests are rejected up front instead of silently queueing
+        behind work nobody is waiting for (ADVICE r3: pool starvation)."""
         timeout = req.get("timeout_s", self._request_timeout_s)
         if timeout is None:
             return fn(req)
+        with self._count_lock:
+            if self._detached >= self.max_detached:
+                return {"ok": False,
+                        "error": f"{self._detached} timed-out requests still "
+                                 "running; rejecting new timed work"}
         box = {}
+        done = threading.Event()
 
         def run():
-            box["resp"] = fn(req)
+            try:
+                box["resp"] = fn(req)
+            except Exception as e:
+                box["resp"] = {"ok": False,
+                               "error": f"{type(e).__name__}: {e}"}
+            finally:
+                done.set()
+                with self._count_lock:
+                    if box.get("detached"):
+                        self._detached -= 1
 
         t = threading.Thread(target=run, daemon=True)
         t.start()
         t.join(float(timeout))
         if t.is_alive():
-            return {"ok": False,
-                    "error": f"request timed out after {timeout}s "
-                             "(work continues in background)"}
+            with self._count_lock:
+                # re-check under the lock: run() may have finished since
+                if not done.is_set():
+                    box["detached"] = True
+                    self._detached += 1
+            if box.get("detached"):
+                return {"ok": False,
+                        "error": f"request timed out after {timeout}s "
+                                 "(work continues in background)"}
         return box["resp"]
 
     def _metrics(self, req: dict) -> dict:
@@ -208,11 +257,17 @@ class SegmentationService:
         base = engine.get_engine()
         devs = jax.devices()
         n = min(self._partitions, len(devs))
-        per = len(devs) // n
+        # remainder devices spread round-robin so partition sizes differ by
+        # at most 1 (ADVICE r3: 8 devs / 3 parts -> 3,3,2, not 2,2,4)
+        per, extra = divmod(len(devs), n)
+        sizes = [per + (1 if i < extra else 0) for i in range(n)]
+        bounds = [0]
+        for s in sizes:
+            bounds.append(bounds[-1] + s)
         fresh = [
             engine.InferenceEngine(
                 base.params, base.cfg, self._device_postprocess,
-                devices=devs[i * per:(i + 1) * per if i < n - 1 else None])
+                devices=devs[bounds[i]:bounds[i + 1]])
             for i in range(n)
         ]
         with self._pool_cv:
@@ -311,7 +366,7 @@ class SegmentationService:
             time.sleep(poll_s)
         self.stop()
 
-    def stop(self) -> None:
+    def stop(self, drain_timeout_s: float = 60.0) -> None:
         self._draining = True
         self._server.shutdown()
         self._server.server_close()
@@ -320,14 +375,46 @@ class SegmentationService:
         # Partitioned mode drains by waiting for every checked-out engine to
         # check back in (stale-generation engines count too — they decrement
         # _outstanding on check-in even though they don't rejoin the pool).
+        # The wait is BOUNDED (ADVICE r3): detached timed-out work must not
+        # hold teardown hostage forever — after drain_timeout_s we warn and
+        # tear down anyway.
+        deadline = None
+        if drain_timeout_s is not None:
+            import time as _time
+
+            deadline = _time.monotonic() + drain_timeout_s
         if getattr(self, "_n_built", 0):
             with self._pool_cv:
                 while self._outstanding > 0:
-                    self._pool_cv.wait()
+                    if not self._wait_cv(self._pool_cv, deadline):
+                        print(f"Warning: tearing down with "
+                              f"{self._outstanding} request(s) still "
+                              f"running after {drain_timeout_s}s drain")
+                        break
                 self._engines = []
                 self._pool_cv.notify_all()
+        # join handler threads mid response-write so every accepted request
+        # gets its bytes before the process can exit (ADVICE r3)
+        with self._inflight_cv:
+            while self._inflight > 0:
+                if not self._wait_cv(self._inflight_cv, deadline):
+                    break
         with self._lock:
             engine.cleanup_resources()
+
+    @staticmethod
+    def _wait_cv(cv, deadline) -> bool:
+        """Wait on ``cv`` (held); False when ``deadline`` has passed."""
+        if deadline is None:
+            cv.wait()
+            return True
+        import time as _time
+
+        remaining = deadline - _time.monotonic()
+        if remaining <= 0:
+            return False
+        cv.wait(remaining)
+        return True
 
 
 def serve(host: str = "127.0.0.1", port: int = 8473,
