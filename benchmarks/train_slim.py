@@ -18,9 +18,13 @@ Produces ``models/flagship_slim.ckpt`` (float16 params, serve config) and
 prints val fg-IoU (vs labels) and mask agreement (vs teacher).
 
 Usage: python benchmarks/train_slim.py [steps] [n_train] [depth] [stem]
-                                       [base_channels] [out_path]
+                                       [base_channels] [out_path] [boost]
 (stem=4 explores the 128²-levels geometry; the contract gate — ship only
-at >=0.999 agreement — is applied by the caller.)
+at >=0.999 agreement — is applied by the caller.  ``boost`` > 0 enables
+boundary-weighted distillation — label-transition pixels up-weighted in CE
+and KL (train.boundary_weight_map) — and widens a third of the training
+data to smaller organs (data.synth_slice r_range (0.06, 0.3)): the round-4
+worst-slice levers, VERDICT r3 item 1.)
 """
 
 import functools
@@ -37,16 +41,16 @@ TEACHER = os.path.join(REPO, "models", "flagship_synth.ckpt")
 OUT = os.path.join(REPO, "models", "flagship_slim.ckpt")
 
 
-def gen_u8(rng, n):
+def gen_u8(rng, n, r_range=(0.12, 0.3)):
     """n synthetic slices as serving-distribution u8 + labels."""
     from unetseg_tpu import data
-    from unetseg_tpu.ops.preprocess import preprocess_oracle_u8
+    from unetseg_tpu.io import native
 
     imgs = np.empty((n, 512, 512), np.uint8)
     labels = np.empty((n, 512, 512), np.uint8)
     for i in range(n):
-        raw, lab = data.synth_slice(rng, 512)
-        imgs[i] = preprocess_oracle_u8(raw, 512)
+        raw, lab = data.synth_slice(rng, 512, r_range=r_range)
+        imgs[i] = native.preprocess_u8(raw, 512)  # bit-exact C++ fast path
         labels[i] = lab
     return imgs, labels
 
@@ -65,6 +69,7 @@ def main():
     stem = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     base = int(sys.argv[5]) if len(sys.argv) > 5 else 64
     out_path = sys.argv[6] if len(sys.argv) > 6 else OUT
+    boost = float(sys.argv[7]) if len(sys.argv) > 7 else 0.0
     batch = 8
 
     t_params, t_cfg = checkpoint.load(TEACHER)
@@ -76,7 +81,14 @@ def main():
 
     rng = np.random.default_rng(42)
     t0 = time.time()
-    imgs_h, labels_h = gen_u8(rng, n_train)
+    if boost > 0:  # worst-slice mode: a third of the data from the wide
+        n_wide = n_train // 3         # (small-organ) distribution
+        i1, l1 = gen_u8(rng, n_train - n_wide)
+        i2, l2 = gen_u8(rng, n_wide, r_range=(0.06, 0.3))
+        imgs_h = np.concatenate([i1, i2])
+        labels_h = np.concatenate([l1, l2])
+    else:
+        imgs_h, labels_h = gen_u8(rng, n_train)
     print(f"data gen: {time.time()-t0:.1f}s for {n_train} slices", flush=True)
 
     t0 = time.time()
@@ -102,7 +114,8 @@ def main():
         bl = jnp.take(labels, idx, axis=0).astype(jnp.int32)
         bt = jnp.take(t_logits, idx, axis=0).astype(jnp.float32)
         return train.distill_step(state, (bi, bl, bt), cfg=cfg, tx=tx,
-                                  alpha=0.5, temperature=2.0)
+                                  alpha=0.5, temperature=2.0,
+                                  boundary_boost=boost)
 
     step_jit = jax.jit(step_fn, donate_argnums=(0,))
 
@@ -118,10 +131,8 @@ def main():
                   f"({(time.time()-t0)/(s+1)*1e3:.0f} ms/step)", flush=True)
 
     # --- held-out evaluation: fg IoU vs labels, agreement vs teacher -------
-    val_rng = np.random.default_rng(1234)
-    vi_h, vl_h = gen_u8(val_rng, 32)
-    vi = jax.device_put(vi_h)
-
+    # Multiple val seeds with MIN reporting: the ship gate is now graded on
+    # the per-slice minimum, not just the mean (VERDICT r3 item 1).
     def predict(c):
         @jax.jit
         def f(p, u8):
@@ -130,16 +141,32 @@ def main():
                               axis=-1).astype(jnp.uint8)
         return f
 
-    ps = np.asarray(predict(cfg)(state.params, vi))
-    pt = np.asarray(predict(t_cfg)(t_params, vi))
-    fg_iou = float(np.mean([
-        metrics.foreground_iou(ps[i], vl_h[i]) for i in range(len(vl_h))]))
-    agree = float(np.mean([
-        metrics.foreground_iou(ps[i], pt[i]) for i in range(len(vl_h))]))
-    pix_agree = float(np.mean(ps == pt))
-    print(f"val fg IoU vs labels:   {fg_iou:.5f}")
-    print(f"fg IoU vs teacher mask: {agree:.5f}")
-    print(f"pixel agreement:        {pix_agree:.6f}")
+    def batched_pred(f, p, u8_h):
+        return np.concatenate([
+            np.asarray(f(p, jax.device_put(u8_h[i:i + 16])))
+            for i in range(0, len(u8_h), 16)])
+
+    fs, ft = predict(cfg), predict(t_cfg)
+    for seed, n_val in ((1234, 64), (7171, 64), (991, 32)):
+        val_rng = np.random.default_rng(seed)
+        if seed == 991:  # bench.py's exact stream: synth_batch + oracle u8
+            from unetseg_tpu import data as _data
+            from unetseg_tpu.ops.preprocess import preprocess_oracle_u8
+
+            raws, vl_h = _data.synth_batch(val_rng, n_val)
+            vi_h = np.stack([preprocess_oracle_u8(r, 512) for r in raws])
+        else:
+            vi_h, vl_h = gen_u8(val_rng, n_val)
+        ps = batched_pred(fs, state.params, vi_h)
+        pt = batched_pred(ft, t_params, vi_h)
+        li = [float(metrics.foreground_iou(ps[i], vl_h[i]))
+              for i in range(len(vl_h))]
+        la = [float(metrics.foreground_iou(ps[i], pt[i]))
+              for i in range(len(vl_h))]
+        print(f"val seed {seed}: fg IoU vs labels mean {np.mean(li):.5f} "
+              f"min {np.min(li):.5f} | vs teacher mean {np.mean(la):.5f} "
+              f"min {np.min(la):.5f} | pix agree {np.mean(ps == pt):.6f}",
+              flush=True)
 
     params_f16 = jax.tree_util.tree_map(
         lambda a: np.asarray(a, np.float16), jax.device_get(state.params))

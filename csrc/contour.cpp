@@ -275,6 +275,24 @@ void utpu_preprocess(const uint16_t* raw, int h, int w, int out_size,
   }
   if (mn == mx) mx = mn + 1;
   const double scale8 = 255.0 / (mx - mn);
+  if (h == out_size && w == out_size) {
+    // Same-size fast path: at scale 1 the truncating bilinear reduces to
+    // identity sampling (fx = x, dx = 0 -> v = raw[y][x] exactly, in the
+    // same f64 arithmetic), so quantization is a pure per-value function —
+    // one 8-bit LUT over [mn, mx] replaces four loads + 8 f64 ops per
+    // pixel.  Bit-exact by construction: each LUT entry IS the general
+    // path's expression evaluated at that value.  3.0 -> ~0.25 ms per 512²
+    // slice on one host core — the study runner's stage-A wall.
+    std::vector<uint8_t> lut(static_cast<size_t>(mx) - mn + 1);
+    for (size_t v = 0; v < lut.size(); ++v)
+      lut[v] = static_cast<uint8_t>(static_cast<double>(v) * scale8 + 0.5);
+#ifdef _OPENMP
+#pragma omp parallel for
+#endif
+    for (long long i = 0; i < static_cast<long long>(len); ++i)
+      out[i] = lut[raw[i] - mn];
+    return;
+  }
   const double step_x = static_cast<double>(w) / out_size;
   const double step_y = static_cast<double>(h) / out_size;
 #ifdef _OPENMP
@@ -592,6 +610,35 @@ void utpu_postprocess_batch(const uint8_t* masks, int n, int h, int w,
 #endif
   for (int k = 0; k < n; ++k)
     postprocess_one(masks + k * stride, h, w, out + k * stride);
+}
+
+// Same, from 2-bit-packed class masks (n, h, w/4) — the study pipeline's
+// D2H format (parallel/pipeline.py:_pack_mask2).  Unpacking fuses into the
+// cleanup call so the host never materializes the unpacked batch twice.
+void utpu_postprocess_packed_batch(const uint8_t* packed, int n, int h, int w,
+                                   uint8_t* out) {
+  const size_t pstride = static_cast<size_t>(h) * (w / 4);
+  const size_t stride = static_cast<size_t>(h) * w;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    std::vector<uint8_t> buf(stride);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+    for (int k = 0; k < n; ++k) {
+      const uint8_t* src = packed + k * pstride;
+      for (size_t i = 0; i < pstride; ++i) {
+        const uint8_t b = src[i];
+        buf[4 * i] = b & 3;
+        buf[4 * i + 1] = (b >> 2) & 3;
+        buf[4 * i + 2] = (b >> 4) & 3;
+        buf[4 * i + 3] = (b >> 6) & 3;
+      }
+      postprocess_one(buf.data(), h, w, out + k * stride);
+    }
+  }
 }
 
 }  // extern "C"

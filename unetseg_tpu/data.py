@@ -16,13 +16,20 @@ import numpy as np
 
 
 def synth_slice(rng: np.random.Generator, size: int = 512,
+                r_range: Tuple[float, float] = (0.12, 0.3),
                 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (raw uint16 (size,size), labels uint8 (size,size) in {0,1,2})."""
+    """Returns (raw uint16 (size,size), labels uint8 (size,size) in {0,1,2}).
+
+    ``r_range`` bounds the organ's semi-axes as a fraction of ``size``.  The
+    default matches every round's held-out evaluation; training sweeps pass a
+    wider range (smaller organs) for worst-slice coverage — small structures
+    are where rim errors cost the most IoU (VERDICT r3 item 1).
+    """
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float64)
 
     # main organ: random ellipse, bright
     cy, cx = rng.uniform(0.3, 0.7, 2) * size
-    ry, rx = rng.uniform(0.12, 0.3, 2) * size
+    ry, rx = rng.uniform(*r_range, 2) * size
     theta = rng.uniform(0, np.pi)
     ct, st = np.cos(theta), np.sin(theta)
     u = ((xx - cx) * ct + (yy - cy) * st) / rx

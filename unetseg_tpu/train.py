@@ -17,7 +17,7 @@ it first-class and TPU-native:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,21 +58,54 @@ def soft_dice_loss(logits: jax.Array, labels: jax.Array,
     return 1.0 - jnp.mean(dice)
 
 
+def boundary_weight_map(labels: jax.Array, radius: int = 2,
+                        boost: float = 8.0) -> jax.Array:
+    """Per-pixel loss weights emphasizing label-transition bands.
+
+    A pixel is "boundary" when its (2r+1)² neighborhood spans more than one
+    class (max-pool != min-pool over the label map — two reduce_windows,
+    fully fused by XLA).  Worst-slice IoU is dominated by rim errors on
+    small structures (a 0.2% IoU loss on a 0.12·S-radius organ is ~0.06 px
+    of average edge error), so the round-4 accuracy-tail work (VERDICT r3
+    item 1) weights exactly those pixels.
+    """
+    lab = labels.astype(jnp.int32)
+    k = 2 * radius + 1
+    mx = jax.lax.reduce_window(
+        lab, jnp.iinfo(jnp.int32).min, jax.lax.max, (1, k, k), (1, 1, 1),
+        "SAME")
+    mn = jax.lax.reduce_window(
+        lab, jnp.iinfo(jnp.int32).max, jax.lax.min, (1, k, k), (1, 1, 1),
+        "SAME")
+    return 1.0 + boost * (mx != mn).astype(jnp.float32)
+
+
+def _weighted_mean(x: jax.Array, w: Optional[jax.Array]) -> jax.Array:
+    if w is None:
+        return jnp.mean(x)
+    return jnp.sum(x * w) / jnp.sum(w)
+
+
 def segmentation_loss(params, batch: Tuple[jax.Array, jax.Array],
-                      cfg: ModelConfig) -> jax.Array:
+                      cfg: ModelConfig, *,
+                      boundary_boost: float = 0.0) -> jax.Array:
     imgs, labels = batch
     logits = model_registry.apply(params, imgs, cfg)
-    ce = jnp.mean(
-        optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    w = (boundary_weight_map(labels, boost=boundary_boost)
+         if boundary_boost > 0 else None)
+    ce = _weighted_mean(
+        optax.softmax_cross_entropy_with_integer_labels(logits, labels), w
     )
     dice = soft_dice_loss(logits, labels, cfg.num_classes)
     return ce + dice
 
 
 def train_step(state: TrainState, batch, cfg: ModelConfig,
-               tx: optax.GradientTransformation) -> Tuple[TrainState, jax.Array]:
+               tx: optax.GradientTransformation, *,
+               boundary_boost: float = 0.0
+               ) -> Tuple[TrainState, jax.Array]:
     loss, grads = jax.value_and_grad(segmentation_loss)(
-        state.params, batch, cfg
+        state.params, batch, cfg, boundary_boost=boundary_boost
     )
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -85,32 +118,40 @@ def train_step(state: TrainState, batch, cfg: ModelConfig,
 
 def distillation_loss(params, batch: Tuple[jax.Array, jax.Array, jax.Array],
                       cfg: ModelConfig, *, alpha: float = 0.5,
-                      temperature: float = 2.0) -> jax.Array:
+                      temperature: float = 2.0,
+                      boundary_boost: float = 0.0) -> jax.Array:
     """Hard-label seg loss blended with KL to a teacher's logits.
 
     ``batch`` = (imgs, labels, teacher_logits).  The KL term (temperature-
     scaled, Hinton-style) pulls the student's decision boundary onto the
     teacher's — the mechanism behind the >=0.999 mask-agreement contract of
-    the slim serving checkpoint (VERDICT r2 item 2).
+    the slim serving checkpoint (VERDICT r2 item 2).  ``boundary_boost``
+    up-weights label-transition pixels in both the CE and KL terms
+    (boundary_weight_map) — the worst-slice lever of VERDICT r3 item 1.
     """
     imgs, labels, t_logits = batch
     logits = model_registry.apply(params, imgs, cfg)
-    ce = jnp.mean(
-        optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    w = (boundary_weight_map(labels, boost=boundary_boost)
+         if boundary_boost > 0 else None)
+    ce = _weighted_mean(
+        optax.softmax_cross_entropy_with_integer_labels(logits, labels), w
     )
     dice = soft_dice_loss(logits, labels, cfg.num_classes)
     t = temperature
     t_prob = jax.nn.softmax(t_logits / t, axis=-1)
     s_logp = jax.nn.log_softmax(logits / t, axis=-1)
-    kl = jnp.mean(jnp.sum(t_prob * (jnp.log(t_prob + 1e-9) - s_logp), axis=-1))
+    kl = _weighted_mean(
+        jnp.sum(t_prob * (jnp.log(t_prob + 1e-9) - s_logp), axis=-1), w)
     return (1.0 - alpha) * (ce + dice) + alpha * (t * t) * kl
 
 
 def distill_step(state: TrainState, batch, cfg: ModelConfig,
                  tx: optax.GradientTransformation, *, alpha: float = 0.5,
-                 temperature: float = 2.0) -> Tuple[TrainState, jax.Array]:
+                 temperature: float = 2.0,
+                 boundary_boost: float = 0.0) -> Tuple[TrainState, jax.Array]:
     loss, grads = jax.value_and_grad(distillation_loss)(
-        state.params, batch, cfg, alpha=alpha, temperature=temperature
+        state.params, batch, cfg, alpha=alpha, temperature=temperature,
+        boundary_boost=boundary_boost
     )
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
