@@ -205,6 +205,66 @@ def make_tta_weightspace_pipeline(cfg: ModelConfig,
     return jax.jit(pipeline)
 
 
+def make_tta_weightspace_mesh_pipeline(cfg: ModelConfig, mesh,
+                                       device_postprocess=False):
+    """Weight-space TTA sharded over a device mesh (BASELINE config 5:
+    "ensemble across a v5e-8 slice").
+
+    The 8 transformed-weight variants stack on a leading axis that shards
+    over ``dp`` — each chip runs the SAME untransposed activations through
+    its own weight variant(s), and the only collective is the logit-mean
+    all-reduce riding ICI.  Masks are bit-identical to the sequential
+    weight-space ensemble (same logit sum, associativity-safe in f32 mean).
+    Requires 8 % mesh.shape['dp'] == 0 (1, 2, 4 or 8 chips).
+
+    Implementation: shard_map, not vmap — vmapping apply() over a stacked
+    weight axis lowers convs to feature_group_count form, which XLA rejects
+    when out_channels isn't divisible by the variant count (the subpixel
+    head's num_classes·stem² rarely is).  Under shard_map each device runs
+    its 8/dp local variants as plain sequential apply() calls (zero
+    activation transposes, the weight-space win) and contributes to one
+    logit-sum psum over ICI.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dp = mesh.shape["dp"]
+    assert N_TRANSFORMS % n_dp == 0
+    local = N_TRANSFORMS // n_dp
+
+    def pipeline(params, u8b):
+        x = (u8b.astype(jnp.float32) / 255.0)[..., None]
+        variants = [transform_params_dihedral(params, cfg, k)
+                    for k in range(N_TRANSFORMS)]
+        thetas = jax.tree_util.tree_map(
+            lambda *ls: jnp.stack(ls), *variants)
+
+        def body(thetas_local, x_rep):
+            acc = None
+            for i in range(local):
+                th = jax.tree_util.tree_map(lambda l, i=i: l[i], thetas_local)
+                lg = model_registry.apply(th, x_rep, cfg)
+                acc = lg if acc is None else acc + lg
+            return jax.lax.psum(acc, "dp")
+
+        logits = shard_map(
+            body, mesh=mesh,
+            in_specs=(P("dp"), P()), out_specs=P(),
+        )(thetas, x)
+        mask = decode.decode_mask(logits / N_TRANSFORMS, cfg.num_classes)
+        if device_postprocess:
+            import functools as _ft
+
+            from unetseg_tpu.parallel.batch import _device_cc
+
+            mask = jax.vmap(_ft.partial(
+                postprocess.postprocess_mask,
+                use_pallas_cc=_device_cc()))(mask)
+        return mask
+
+    return jax.jit(pipeline)
+
+
 def make_tta_batch_pipeline(cfg: ModelConfig, mesh=None,
                             device_postprocess=False):
     """jitted (params, u8 (N,H,W)) -> masks (N,H,W): 8-fold TTA over a
