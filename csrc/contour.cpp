@@ -354,11 +354,16 @@ void append_json_string(std::string& out, const char* s) {
 // Labelme-style contour JSON, byte-identical to nlohmann `setw(4)` output as
 // produced by src/mask2polygon.cpp:68-109 (alphabetical key order), with the
 // truncating coordinate scaling of src/mask2polygon.cpp:41-63 applied.
-// Returns malloc'd NUL-terminated bytes (length in *out_len), caller frees.
-char* utpu_contour_json(const int32_t* points, const int32_t* offsets,
-                        int n_contours, const char* base_name, int orig_w,
-                        int orig_h, double scale_x, double scale_y,
-                        size_t* out_len) {
+// `labels`/`label_indices` (optional, length n_contours) override the
+// reference's constant label 1 / labelIndex 0 — the per-class extension
+// (BASELINE config 2).  Returns malloc'd NUL-terminated bytes (length in
+// *out_len), caller frees.
+static char* contour_json_impl(const int32_t* points, const int32_t* offsets,
+                               int n_contours, const char* base_name,
+                               int orig_w, int orig_h, double scale_x,
+                               double scale_y, const int32_t* labels,
+                               const int32_t* label_indices,
+                               size_t* out_len) {
   std::string j;
   j.reserve(4096);
   j += "{\n    \"flags\": {},\n    \"imageData\": null,\n    \"imageHeight\": ";
@@ -377,8 +382,12 @@ char* utpu_contour_json(const int32_t* points, const int32_t* offsets,
       j += "\n            \"description\": \"\",";
       j += "\n            \"flags\": {},";
       j += "\n            \"group_id\": null,";
-      j += "\n            \"label\": 1,";
-      j += "\n            \"labelIndex\": 0,";
+      j += "\n            \"label\": ";
+      j += std::to_string(labels ? labels[c] : 1);
+      j += ",";
+      j += "\n            \"labelIndex\": ";
+      j += std::to_string(label_indices ? label_indices[c] : 0);
+      j += ",";
       j += "\n            \"mask\": null,";
       j += "\n            \"points\": [";
       for (int32_t k = offsets[c]; k < offsets[c + 1]; ++k) {
@@ -404,6 +413,26 @@ char* utpu_contour_json(const int32_t* points, const int32_t* offsets,
   std::memcpy(buf, j.data(), j.size() + 1);
   if (out_len) *out_len = j.size();
   return buf;
+}
+
+char* utpu_contour_json(const int32_t* points, const int32_t* offsets,
+                        int n_contours, const char* base_name, int orig_w,
+                        int orig_h, double scale_x, double scale_y,
+                        size_t* out_len) {
+  return contour_json_impl(points, offsets, n_contours, base_name, orig_w,
+                           orig_h, scale_x, scale_y, nullptr, nullptr,
+                           out_len);
+}
+
+char* utpu_contour_json_labeled(const int32_t* points, const int32_t* offsets,
+                                int n_contours, const int32_t* labels,
+                                const int32_t* label_indices,
+                                const char* base_name, int orig_w, int orig_h,
+                                double scale_x, double scale_y,
+                                size_t* out_len) {
+  return contour_json_impl(points, offsets, n_contours, base_name, orig_w,
+                           orig_h, scale_x, scale_y, labels, label_indices,
+                           out_len);
 }
 
 // Compact size JSON (src/preprocess.cpp:126-134): nlohmann `os << j` bytes.

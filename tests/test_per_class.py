@@ -1,0 +1,109 @@
+"""Per-class contour surface (VERDICT r3 item 5, BASELINE config 2).
+
+``{base}_classes.json`` extends the reference's labelme schema with real
+per-shape ``label`` / ``labelIndex`` values (the reference hardcodes 1/0,
+src/mask2polygon.cpp:86-88).  Byte format is pinned by a golden; the C++
+emitter must match the Python/nlohmann emitter byte-for-byte.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from unetseg_tpu import data
+from unetseg_tpu.io import jsonfmt, native
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+LABELED = [(1, 0, [(10, 12), (30, 12), (30, 40)]),
+           (2, 1, [(100, 100), (140, 100), (140, 140), (100, 140)]),
+           (2, 1, [(5, 5), (6, 5), (6, 6)])]
+
+
+def test_labeled_json_matches_golden():
+    scaled = [(lab, idx, [(int(x * 2.0), int(y * 1.5)) for x, y in c])
+              for lab, idx, c in LABELED]
+    got = jsonfmt.contour_json_bytes_labeled(scaled, "ml", 1024, 768)
+    with open(os.path.join(GOLDEN, "contour_labeled_golden.json"), "rb") as f:
+        assert got == f.read()
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_labeled_json_matches_python():
+    got_c = native.contour_json_bytes_labeled(LABELED, "ml", 1024, 768,
+                                              2.0, 1.5)
+    with open(os.path.join(GOLDEN, "contour_labeled_golden.json"), "rb") as f:
+        assert got_c == f.read()
+    # empty set serializes too
+    empty = native.contour_json_bytes_labeled([], "e", 64, 64, 1.0, 1.0)
+    assert json.loads(empty)["shapes"] == []
+
+
+def test_engine_per_class_artifact(tmp_path):
+    """process_single_image(per_class=True) emits {base}_classes.json with
+    one labelIndex per class and scaled integer points."""
+    from unetseg_tpu import checkpoint, engine
+    from unetseg_tpu.config import ModelConfig
+    from unetseg_tpu.io import raw as raw_io
+    from unetseg_tpu.models import registry
+
+    cfg = ModelConfig(base_channels=8, depth=2)
+    params = jax.jit(registry.init, static_argnums=(1,))(jax.random.key(0),
+                                                         cfg)
+    ckpt = str(tmp_path / "m.ckpt")
+    checkpoint.save(ckpt, jax.tree_util.tree_map(np.asarray, params), cfg)
+
+    raw, _ = data.synth_slice(np.random.default_rng(5), 512)
+    rp = str(tmp_path / "img_512_512.raw")
+    raw_io.write_raw(rp, raw)
+    try:
+        assert engine.initialize_engine(ckpt, log_dir=str(tmp_path / "log"))
+        assert engine.process_single_image(rp, 512, 512,
+                                           str(tmp_path / "o"),
+                                           per_class=True)
+        pcp = str(tmp_path / "o" / "img_512_512_classes.json")
+        assert os.path.exists(pcp)
+        doc = json.loads(open(pcp).read())
+        assert doc["imageWidth"] == 512 and doc["imageHeight"] == 512
+        for shape in doc["shapes"]:
+            assert shape["label"] in (1, 2)
+            assert shape["labelIndex"] in (0, 1)
+            assert shape["shape_type"] == "polygon"
+        # labelIndex consistently maps the sorted class list
+        lab2idx = {s["label"]: s["labelIndex"] for s in doc["shapes"]}
+        for lab, idx in lab2idx.items():
+            assert idx == {1: 0, 2: 1}[lab]
+    finally:
+        engine.cleanup_resources()
+
+
+def test_service_per_class_field(tmp_path):
+    """The service's process request forwards per_class to the engine."""
+    from unetseg_tpu import checkpoint, service
+    from unetseg_tpu.config import ModelConfig
+    from unetseg_tpu.io import raw as raw_io
+    from unetseg_tpu.models import registry
+
+    cfg = ModelConfig(base_channels=8, depth=2)
+    params = jax.jit(registry.init, static_argnums=(1,))(jax.random.key(1),
+                                                         cfg)
+    ckpt = str(tmp_path / "m.ckpt")
+    checkpoint.save(ckpt, jax.tree_util.tree_map(np.asarray, params), cfg)
+    raw, _ = data.synth_slice(np.random.default_rng(6), 512)
+    rp = str(tmp_path / "img_512_512.raw")
+    raw_io.write_raw(rp, raw)
+
+    svc = service.SegmentationService(port=0)
+    addr = svc.start()
+    try:
+        assert service.request(addr, {"cmd": "init", "cache": ckpt})["ok"]
+        resp = service.request(addr, {
+            "cmd": "process", "path": rp, "width": 512, "height": 512,
+            "output_dir": str(tmp_path / "o"), "per_class": True})
+        assert resp["ok"], resp
+        assert os.path.exists(str(tmp_path / "o" / "img_512_512_classes.json"))
+    finally:
+        svc.stop()

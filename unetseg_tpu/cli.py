@@ -26,13 +26,14 @@ def print_usage() -> None:
     print("\nMedical Image Segmentation Tool (TPU)")
     print("Commands:")
     print("  init <engine_cache_path>      - Initialize segmentation engine")
-    print("  process [-r] [--batched] [--tta] [--window N] <input> <width> <height> [output_dir] - Process file/directory")
+    print("  process [-r] [--batched] [--tta] [--window N] [--per-class] <input> <width> <height> [output_dir] - Process file/directory")
     print("  exit                          - Cleanup and exit")
     print("\nOptions:")
     print("  -r                            - Recursively process directory")
     print("  --batched                     - Use batched TPU inference for directories")
     print("  --tta                         - 8-fold flip/rot90 ensemble inference")
     print("  --window N                    - Native-resolution sliding-window inference")
+    print("  --per-class                   - Also emit {base}_classes.json (per-class shapes)")
     print("  <input>                       - Path to image file or directory")
 
 
@@ -104,9 +105,10 @@ def repl(stdin=None) -> int:
                 print("Error: Engine not initialized", file=sys.stderr)
                 continue
             args = parts[1:]
-            recursive = batched = tta = False
+            recursive = batched = tta = per_class = False
             window = None
-            while args and args[0] in ("-r", "--batched", "--tta", "--window"):
+            while args and args[0] in ("-r", "--batched", "--tta", "--window",
+                                       "--per-class"):
                 flag = args.pop(0)
                 if flag == "-r":
                     recursive = True
@@ -118,6 +120,8 @@ def repl(stdin=None) -> int:
                     if not args:
                         break
                     window = int(args.pop(0))
+                elif flag == "--per-class":
+                    per_class = True
             if len(args) < 3:
                 print("Error: Invalid process command", file=sys.stderr)
                 continue
@@ -139,7 +143,7 @@ def repl(stdin=None) -> int:
                     print(f"Processing file: {input_path}")
                     if engine.process_single_image(
                         input_path, width, height, output_dir,
-                        tta=tta, window=window,
+                        tta=tta, window=window, per_class=per_class,
                     ):
                         print("Processing completed")
                     else:

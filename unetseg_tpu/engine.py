@@ -420,15 +420,39 @@ def _polygonize(mask_vis: np.ndarray, output_dir: str, base_name: str,
         print(f"Processing Failure: {e}")
 
 
+def _emit_per_class_json(decoded_mask: np.ndarray, output_dir: str,
+                         base_name: str, original_w: int,
+                         original_h: int) -> None:
+    """``{base}_classes.json``: labelme shapes for EVERY class region
+    (label = class id, labelIndex = position in the class list) extracted
+    from the decoded pre-cleanup mask — class-1 regions are defined before
+    the cleanup maps the mask to {0,2} (src/postprocess.cpp:75-76).
+    BASELINE config 2's per-class contour surface."""
+    scaled_h, scaled_w = decoded_mask.shape
+    per_class = native.contours_per_class(decoded_mask)
+    labeled = []
+    for idx, (cls, contours) in enumerate(sorted(per_class.items())):
+        labeled += [(cls, idx, c) for c in contours]
+    payload = native.contour_json_bytes_labeled(
+        labeled, base_name, original_w, original_h,
+        original_w / scaled_w, original_h / scaled_h)
+    with open(os.path.join(output_dir, base_name + "_classes.json"),
+              "wb") as f:
+        f.write(payload)
+
+
 def process_single_image(raw_path: str, width: int, height: int,
                          output_dir: str, *, tta: bool = False,
                          window: Optional[int] = None,
                          overlap: int = 128,
+                         per_class: bool = False,
                          eng: Optional[InferenceEngine] = None) -> bool:
     """Per-image pipeline.  ``tta`` enables the 8-fold ensemble; ``window``
     switches to native-resolution sliding-window inference (no 512²
-    downsample) with the given window size.  ``eng`` overrides the global
-    engine so concurrent callers can each own a device-subset engine."""
+    downsample) with the given window size.  ``per_class`` additionally
+    emits ``{base}_classes.json`` (per-class labelme shapes).  ``eng``
+    overrides the global engine so concurrent callers can each own a
+    device-subset engine."""
     try:
         eng = eng or get_engine()
         if eng is None:
@@ -476,6 +500,10 @@ def process_single_image(raw_path: str, width: int, height: int,
             mask = np.asarray(eng.infer(u8[None]))[0]
         inference_ms = int((time.perf_counter() - t_inf) * 1000)
         GLOBAL_LOG.write(f"Inference time: {inference_ms} ms")
+        if per_class:
+            # per-class regions live in the decoded mask; the cleanup below
+            # erases class 1 (maps to {0,2}, src/postprocess.cpp:75-76)
+            _emit_per_class_json(mask, output_dir, base_name, width, height)
         mask = eng.cleanup_masks(mask)
 
         # --- mask artifact (LUT vis; src/process.cpp:178-185,234-239) -----

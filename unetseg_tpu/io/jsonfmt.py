@@ -92,3 +92,32 @@ def contour_json_bytes(
 ) -> bytes:
     obj = contour_json_obj(contours, base_name, original_width, original_height, version)
     return (dumps_pretty(obj) + "\n").encode()
+
+
+def contour_json_bytes_labeled(
+    labeled: Sequence[Tuple[int, int, Sequence[Tuple[int, int]]]],
+    base_name: str,
+    original_width: int,
+    original_height: int,
+    version: str = "1.0.2.812",
+) -> bytes:
+    """Per-class variant: ``labeled`` = [(label, labelIndex, contour), ...].
+
+    Same labelme schema/bytes as :func:`contour_json_bytes` with the
+    reference's constant ``label: 1 / labelIndex: 0``
+    (src/mask2polygon.cpp:86-88) replaced by per-shape class ids — the
+    multi-class extension (BASELINE config 2)."""
+    obj = contour_json_obj([], base_name, original_width, original_height,
+                           version)
+    for label, label_index, contour in labeled:
+        obj["shapes"].append({
+            "label": int(label),
+            "labelIndex": int(label_index),
+            "points": [[int(x), int(y)] for (x, y) in contour],
+            "shape_type": "polygon",
+            "description": "",
+            "mask": None,
+            "group_id": None,
+            "flags": {},
+        })
+    return (dumps_pretty(obj) + "\n").encode()

@@ -78,6 +78,14 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_size_t),
         ]
+        lib.utpu_contour_json_labeled.restype = ctypes.c_void_p
+        lib.utpu_contour_json_labeled.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
         lib.utpu_postprocess_batch.restype = None
         lib.utpu_postprocess_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -332,3 +340,53 @@ def contours_per_class(mask: np.ndarray, classes=(1, 2)):
         binary = np.where(mask == c, np.uint8(255), np.uint8(0))
         out[c] = extract_contours(binary)
     return out
+
+
+def contour_json_bytes_labeled(
+    labeled: List[Tuple[int, int, List[Tuple[int, int]]]],
+    base_name: str,
+    orig_w: int,
+    orig_h: int,
+    scale_x: float,
+    scale_y: float,
+) -> bytes:
+    """Per-class labelme JSON (``labeled`` = [(label, labelIndex, contour)])
+    with the truncating point scaling fused in; byte-identical to the
+    Python/nlohmann emitter (golden-tested)."""
+    lib = load()
+    if lib is None:
+        from unetseg_tpu.io import contours_py, jsonfmt
+
+        mapped = contours_py.map_contour_points(
+            [c for (_, _, c) in labeled], scale_x, scale_y)
+        relabeled = [(lab, idx, m) for (lab, idx, _), m
+                     in zip(labeled, mapped)]
+        return jsonfmt.contour_json_bytes_labeled(
+            relabeled, base_name, orig_w, orig_h)
+    flat = []
+    offsets = [0]
+    for _, _, c in labeled:
+        flat.extend(c)
+        offsets.append(len(flat))
+    pts = np.ascontiguousarray(
+        np.asarray(flat if flat else np.zeros((0, 2)),
+                   dtype=np.int32).reshape(-1, 2))
+    offs = np.asarray(offsets, dtype=np.int32)
+    labs = np.asarray([lab for (lab, _, _) in labeled], np.int32)
+    idxs = np.asarray([idx for (_, idx, _) in labeled], np.int32)
+    out_len = ctypes.c_size_t()
+    ptr = lib.utpu_contour_json_labeled(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(labeled),
+        labs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        idxs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        base_name.encode(), orig_w, orig_h, scale_x, scale_y,
+        ctypes.byref(out_len),
+    )
+    if not ptr:
+        raise MemoryError("utpu_contour_json_labeled failed")
+    try:
+        return ctypes.string_at(ptr, out_len.value)
+    finally:
+        lib.utpu_free(ptr)

@@ -9,7 +9,7 @@ connections (the reference's global g_runtime/g_engine analog):
   {"cmd": "init", "cache": "/path/model.ckpt"}
   {"cmd": "process", "path": "...", "width": W, "height": H,
    "output_dir": "...", "recursive": false, "tta": false, "window": null,
-   "timeout_s": null}
+   "per_class": false, "timeout_s": null}
   {"cmd": "status"}
   {"cmd": "metrics", "n": 20}
   {"cmd": "shutdown"}
@@ -309,6 +309,7 @@ class SegmentationService:
             return {"ok": False, "error": f"process requires {e.args[0]!r}"}
         tta = bool(req.get("tta", False))
         window = req.get("window")
+        per_class = bool(req.get("per_class", False))
 
         partitioned = self._partitions > 1
         gen = None
@@ -341,7 +342,8 @@ class SegmentationService:
                             "failed": n_fail}
                 ok = engine.process_single_image(
                     path, width, height, out_dir, tta=tta,
-                    window=int(window) if window else None, eng=eng)
+                    window=int(window) if window else None,
+                    per_class=per_class, eng=eng)
                 with self._count_lock:
                     self._n_processed += int(ok)
                 return {"ok": bool(ok)} if ok else \
