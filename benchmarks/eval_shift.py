@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Distribution-shift robustness evaluation (VERDICT r3 item 9, proxy).
+
+No real CT/pathology data is reachable in this environment (zero network
+egress; no bundled medical datasets in any installed package — verified),
+so the "real data" validation is proxied by shape/texture families the
+models were NEVER trained on (data.synth_slice_shifted): lobulated organs,
+crescents (concave boundaries), and illumination-gradient + streak-noise
+slices.  For each family this reports:
+
+* student (serving slim4) and teacher decoded-mask fg IoU vs labels
+  (mean / min),
+* student-vs-teacher mask agreement (the distillation contract off-family),
+* full-pipeline polygon parity vs the reference-twin oracle (must stay ~1.0
+  regardless of content: parity is about stage semantics, not the model).
+
+Usage: python benchmarks/eval_shift.py [n_per_kind]
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from unetseg_tpu import checkpoint, data, metrics, reference_twin as twin
+    from unetseg_tpu.io import native
+    from unetseg_tpu.models import registry
+    from unetseg_tpu.ops import decode
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+
+    s_params, s_cfg = checkpoint.load(
+        os.path.join(REPO, "models", "flagship_slim4.ckpt"))
+    t_params, t_cfg = checkpoint.load(
+        os.path.join(REPO, "models", "flagship_synth.ckpt"))
+    s_params, t_params = jax.device_put(s_params), jax.device_put(t_params)
+
+    def make_pred(cfg):
+        @jax.jit
+        def f(p, u8):
+            x = u8.astype(jnp.float32)[..., None] / 255.0
+            return jnp.argmax(registry.apply(p, x, cfg),
+                              axis=-1).astype(jnp.uint8)
+        return f
+
+    fs, ft = make_pred(s_cfg), make_pred(t_cfg)
+    report = {}
+    host_s = jax.device_get(s_params)
+
+    for kind in ("lobulated", "crescent", "illum"):
+        rng = np.random.default_rng(hash(kind) % 2**31)
+        raws = np.empty((n, 512, 512), np.uint16)
+        labels = np.empty((n, 512, 512), np.uint8)
+        for i in range(n):
+            raws[i], labels[i] = data.synth_slice_shifted(rng, 512, kind)
+        u8 = np.stack([native.preprocess_u8(r, 512) for r in raws])
+        ps = np.asarray(fs(s_params, jnp.asarray(u8)))
+        pt = np.asarray(ft(t_params, jnp.asarray(u8)))
+        s_iou = [float(metrics.foreground_iou(ps[i], labels[i]))
+                 for i in range(n)]
+        t_iou = [float(metrics.foreground_iou(pt[i], labels[i]))
+                 for i in range(n)]
+        agree = [float(metrics.foreground_iou(ps[i], pt[i]))
+                 for i in range(n)]
+
+        # full-pipeline parity vs the twin oracle on 4 slices
+        parity = []
+        for i in range(4):
+            mask = native.postprocess_batch(ps[i][None])[0]
+            vis = np.asarray(decode.mask_to_image(jnp.asarray(mask)))
+            sx, sy = 1024 / 512, 768 / 512
+            ours = [[(int(x * sx), int(y * sy)) for x, y in c]
+                    for c in native.extract_contours(vis)]
+            theirs = twin.twin_pipeline(host_s, s_cfg, u8[i], 1024, 768)
+            parity.append(metrics.polygon_iou(ours, theirs, 1024, 768))
+
+        report[kind] = {
+            "student_fg_iou": round(float(np.mean(s_iou)), 5),
+            "student_fg_iou_min": round(float(np.min(s_iou)), 5),
+            "teacher_fg_iou": round(float(np.mean(t_iou)), 5),
+            "teacher_fg_iou_min": round(float(np.min(t_iou)), 5),
+            "student_teacher_agreement": round(float(np.mean(agree)), 5),
+            "agreement_min": round(float(np.min(agree)), 5),
+            "pipeline_twin_parity": round(float(np.mean(parity)), 5),
+        }
+        print(kind, json.dumps(report[kind]), flush=True)
+
+    print(json.dumps({"shift_eval": report}))
+
+
+if __name__ == "__main__":
+    main()

@@ -177,6 +177,9 @@ def main() -> int:
     report["c3_batched_equivalent_512_slices_per_sec"] = round(8 * 4 / dtb, 1)
 
     # ---- config 4: full study throughput ---------------------------------
+    # Measured per artifact tier (VERDICT r3 item 2): no artifacts (pure
+    # pipeline), JSON-only, mask+JSON, and the full five-artifact reference
+    # set — all through the batched native emitter (csrc/emit.cpp).
     n = args.slices
     with tempfile.TemporaryDirectory() as td:
         paths = []
@@ -185,10 +188,15 @@ def main() -> int:
             p = f"{td}/s{i:04d}.raw"
             raw_io.write_raw(p, raws_np[i % raws_np.shape[0]])
             paths.append(p)
-        res = ppl.run_study(params, cfg, paths, 512, 512, batch_size=128,
-                            host_preprocess=True)
+        for tier in (None, "json", "mask_json", "full"):
+            out_dir = None if tier is None else f"{td}/out_{tier}"
+            res = ppl.run_study(params, cfg, paths, 512, 512, batch_size=128,
+                                host_preprocess=True, artifacts=tier,
+                                out_dir=out_dir)
+            key = "e2e" if tier is None else tier
+            report[f"c4_study_slices_per_sec_{key}"] = round(
+                res.slices_per_sec, 1)
     report["c4_study_slices"] = n
-    report["c4_study_slices_per_sec_e2e"] = round(res.slices_per_sec, 1)
     report["c4_study_wall_s"] = round(res.wall_s, 2)
 
     # ---- config 5: TTA ensemble (single chip) ----------------------------
