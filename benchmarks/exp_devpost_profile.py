@@ -64,3 +64,7 @@ timeit("FULL postprocess_batch (xla cc)",
 # predicate broadcast per CC stage) — the row that matters
 timeit("FULL postprocess_batch v3 (pallas fast)",
        lambda m: postprocess.postprocess_batch(m, use_pallas_cc=True), masks)
+
+# ---- v4: slot-compressed stats, scatter-free (round 4) --------------------
+timeit("FULL postprocess_batch_v4 (slots)",
+       lambda m: postprocess.postprocess_batch_v4(m), masks)

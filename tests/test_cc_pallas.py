@@ -156,3 +156,50 @@ def test_postprocess_v3_odd_shapes():
         v2 = np.asarray(postprocess.postprocess_mask(
             jnp.asarray(m), use_pallas_cc=True, interpret=True))
         np.testing.assert_array_equal(v1, v2, err_msg=str(shape))
+
+
+# ---------------------------------------------------------------------------
+# Device postprocess v4: slot-compressed component stats (round 4)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("case", ["organ", "empty", "full", "speckle",
+                                  "ring", "many-blobs"])
+def test_postprocess_v4_matches_oracle(case):
+    """v4 (K-slot compare-reduce stats + exact cond fallback) must equal the
+    XLA oracle bit-for-bit, including on masks with more components than
+    slots (the speckle case exercises the fallback branch)."""
+    rng = np.random.default_rng(hash(case) % 2**31)
+    S = 96
+    if case == "organ":
+        from unetseg_tpu import data
+
+        _, m = data.synth_slice(rng, S)
+    elif case == "empty":
+        m = np.zeros((S, S), np.uint8)
+    elif case == "full":
+        m = np.full((S, S), 2, np.uint8)
+    elif case == "speckle":
+        m = (rng.random((S, S)) > 0.5).astype(np.uint8) * 2
+    elif case == "ring":
+        m = np.zeros((S, S), np.uint8)
+        m[10:80, 10:80] = 2
+        m[30:60, 30:60] = 0
+    else:  # many-blobs: > K_SLOTS tiny fg components
+        m = np.zeros((S, S), np.uint8)
+        m[::4, ::4] = 2
+    want = np.asarray(postprocess.postprocess_mask_jit(jnp.asarray(m)))
+    got = np.asarray(postprocess.postprocess_batch_v4(
+        jnp.asarray(m[None]), interpret=True))[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_postprocess_v4_batched():
+    from unetseg_tpu import data
+
+    rng = np.random.default_rng(9)
+    masks = np.stack([data.synth_slice(rng, 64)[1] for _ in range(4)])
+    want = np.asarray(jax.vmap(postprocess.postprocess_mask)(
+        jnp.asarray(masks)))
+    got = np.asarray(postprocess.postprocess_batch_v4(
+        jnp.asarray(masks), interpret=True))
+    np.testing.assert_array_equal(got, want)

@@ -66,3 +66,54 @@ def test_engine_tta_mesh_uses_weightspace_mesh_pipeline(engines):
     multi.infer_tta(u8)
     kind, _fn = multi._compiled[("tta", u8.shape)]
     assert kind == "ws"
+
+
+def test_threaded_callers_with_partitioned_engines(tmp_path):
+    """The bare-API realization of the reference's thread_local-context
+    intent (src/process.cpp:14-19): N threads, each owning a partition
+    engine, call process_single_image concurrently and all succeed with
+    correct artifacts."""
+    import threading
+
+    from unetseg_tpu import checkpoint, data, engine
+    from unetseg_tpu.io import raw as raw_io
+
+    cfg = ModelConfig(base_channels=8, depth=2)
+    params = jax.jit(model_registry.init, static_argnums=(1,))(
+        jax.random.key(7), cfg)
+    ckpt = str(tmp_path / "m.ckpt")
+    checkpoint.save(ckpt, jax.tree_util.tree_map(np.asarray, params), cfg)
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(4):
+        raw, _ = data.synth_slice(rng, 512)
+        p = str(tmp_path / f"t{i}_512_512.raw")
+        raw_io.write_raw(p, raw)
+        paths.append(p)
+    try:
+        assert engine.initialize_engine(ckpt, log_dir=str(tmp_path / "log"))
+        engines = engine.make_partitioned_engines(4)
+        assert len(engines) == 4
+        # disjoint device subsets
+        owned = [d for e in engines for d in e.devices]
+        assert len(owned) == len(set(owned)) == 8
+        results = [None] * 4
+
+        def worker(i):
+            results[i] = engine.process_single_image(
+                paths[i], 512, 512, str(tmp_path / f"o{i}"), eng=engines[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(results), results
+        import os
+        for i in range(4):
+            assert os.path.exists(
+                str(tmp_path / f"o{i}" / f"t{i}_512_512_mask.png"))
+    finally:
+        engine.cleanup_resources()

@@ -359,6 +359,43 @@ def initialize_engine(cache_path: str, log_dir: Optional[str] = None,
         return False
 
 
+def make_partitioned_engines(n_partitions: int,
+                             device_postprocess: bool = False,
+                             ) -> List[InferenceEngine]:
+    """Split the host's visible chips into N independent engines.
+
+    The reference INTENDS concurrent ``process_single_image`` callers via
+    thread_local TensorRT contexts (``/root/reference/src/process.cpp:14-19``,
+    ``include/process.h:13-26``) but breaks them with shared static staging
+    buffers.  Here each partition engine owns a disjoint device subset
+    (remainder spread round-robin, sizes differing by at most 1), so
+    threaded callers pass their partition as ``eng=`` and run truly in
+    parallel — the working realization of the thread_local intent:
+
+        engines = engine.make_partitioned_engines(4)
+        # thread i:
+        engine.process_single_image(path, w, h, out, eng=engines[i])
+
+    Requires a prior :func:`initialize_engine` (supplies params/config).
+    The service's ``--partitions N`` pool is built on this.
+    """
+    base = get_engine()
+    if base is None:
+        raise RuntimeError("initialize_engine first")
+    devs = jax.devices()
+    n = max(1, min(int(n_partitions), len(devs)))
+    per, extra = divmod(len(devs), n)
+    sizes = [per + (1 if i < extra else 0) for i in range(n)]
+    bounds = [0]
+    for s in sizes:
+        bounds.append(bounds[-1] + s)
+    return [
+        InferenceEngine(base.params, base.cfg, device_postprocess,
+                        devices=devs[bounds[i]:bounds[i + 1]])
+        for i in range(n)
+    ]
+
+
 def cleanup_resources() -> None:
     """Ordered teardown, parity with src/cleanup.cpp:10-64."""
     global _engine

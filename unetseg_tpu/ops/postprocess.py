@@ -155,6 +155,123 @@ def _postprocess_mask_pallas(mask: jax.Array,
     return jnp.where(keep, jnp.uint8(FOREGROUND_VALUE), jnp.uint8(0))
 
 
+# ---------------------------------------------------------------------------
+# Device postprocess v4: slot-compressed component stats (VERDICT r3 item 6)
+# ---------------------------------------------------------------------------
+
+_K_SLOTS = 128
+
+
+def _slot_roots(lbl: jax.Array, region: jax.Array):
+    """Up to K component roots as a STATIC-size vector (padded -1).
+
+    A component's root label is its minimum member flat index, so roots are
+    exactly the pixels whose label equals their own index.  nonzero(size=K)
+    compiles to a bounded cumsum — no data-dependent shapes."""
+    h, w = lbl.shape
+    size = h * w
+    idx = jnp.arange(size, dtype=jnp.int32)
+    is_root = region.reshape(-1) & (lbl.reshape(-1) == idx)
+    n_roots = jnp.sum(is_root.astype(jnp.int32))
+    roots = jnp.nonzero(is_root, size=_K_SLOTS, fill_value=-1)[0].astype(
+        jnp.int32)
+    return roots, n_roots
+
+
+def _region_predicate_fast(lbl: jax.Array, region: jax.Array,
+                           min_area: int, mode: str) -> jax.Array:
+    """Per-pixel component predicate without scatters, gathers or floods.
+
+    v3 spent ~3.5 ms/mask on a 262k-update scatter-add (areas) plus ~1 ms
+    min-propagation per predicate (exp_devpost_profile.py).  v4 compresses
+    components into K=128 static slots (real masks have a handful) and
+    evaluates areas / border-touch / the predicate as K-row compare-reduce
+    sweeps — pure VPU streaming.  Caller guarantees <= K components
+    (overflow routes to :func:`_region_predicate_exact` at batch level).
+    """
+    h, w = lbl.shape
+    flat = lbl.reshape(-1)
+    roots, _ = _slot_roots(lbl, region)
+    eq = flat[None, :] == roots[:, None]               # (K, HW)
+    area_k = jnp.sum(eq, axis=1, dtype=jnp.int32)
+    if mode == "hole":
+        border = jnp.concatenate([lbl[0], lbl[-1], lbl[:, 0], lbl[:, -1]])
+        touch_k = jnp.any(border[None, :] == roots[:, None], axis=1)
+        slot_ok = (area_k < min_area) & ~touch_k
+    else:
+        slot_ok = area_k >= min_area
+    slot_ok &= roots >= 0
+    return jnp.any(eq & slot_ok[:, None], axis=0).reshape(h, w) & region
+
+
+def _region_predicate_exact(lbl: jax.Array, region: jax.Array,
+                            min_area: int, mode: str) -> jax.Array:
+    """Scatter/gather table form (exact for ANY component count); only used
+    when a batch contains a > K-component mask (adversarial speckle)."""
+    h, w = lbl.shape
+    size = h * w
+    flat = lbl.reshape(-1)
+    area = jnp.zeros((size + 1,), jnp.int32).at[flat].add(
+        region.reshape(-1).astype(jnp.int32))
+    if mode == "hole":
+        border = jnp.concatenate([lbl[0], lbl[-1], lbl[:, 0], lbl[:, -1]])
+        touch = jnp.zeros((size + 1,), jnp.bool_).at[border].set(True)
+        table = (area[:size] < min_area) & ~touch[:size]
+    else:
+        table = area[:size] >= min_area
+    return table[flat].reshape(h, w) & region
+
+
+def _batch_predicate(lbl: jax.Array, region: jax.Array, min_area: int,
+                     mode: str) -> jax.Array:
+    """Batched predicate with ONE cond at batch level: the slot fast path
+    runs unless ANY mask in the batch has > K components (vmap of cond
+    would execute both branches; a real branch needs the cond OUTSIDE)."""
+    n_roots = jax.vmap(lambda l, r: _slot_roots(l, r)[1])(lbl, region)
+    fast = functools.partial(_region_predicate_fast, min_area=min_area,
+                             mode=mode)
+    exact = functools.partial(_region_predicate_exact, min_area=min_area,
+                              mode=mode)
+    return jax.lax.cond(
+        jnp.max(n_roots) <= _K_SLOTS,
+        lambda args: jax.vmap(fast)(*args),
+        lambda args: jax.vmap(exact)(*args),
+        (lbl, region),
+    )
+
+
+def _postprocess_masks_v4(masks: jax.Array,
+                          interpret: bool = False) -> jax.Array:
+    """(N, H, W) uint8 -> cleaned {0,2}; exact postprocess.cpp semantics."""
+    from unetseg_tpu.ops.cc_pallas import cc_label_pallas
+
+    n, h, w = masks.shape
+    min_area = min_area_threshold(h, w)
+
+    # --- hole fill ---------------------------------------------------------
+    inv = masks != FOREGROUND_VALUE
+    lbl = cc_label_pallas(inv, interpret=interpret)
+    fill = _batch_predicate(lbl, inv, min_area, "hole")
+    masks = jnp.where(fill, jnp.uint8(FOREGROUND_VALUE), masks)
+
+    # --- binarize + open + area filter ------------------------------------
+    fg = morphology.open_(masks == FOREGROUND_VALUE, MORPH_KERNEL_SIZE)
+    lbl2 = cc_label_pallas(fg, interpret=interpret)
+    keep = _batch_predicate(lbl2, fg, min_area, "keep")
+    return jnp.where(keep, jnp.uint8(FOREGROUND_VALUE), jnp.uint8(0))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def postprocess_batch_v4(masks: jax.Array,
+                         interpret: bool = False) -> jax.Array:
+    """Batched device postprocess v4 (scatter-free slot stats)."""
+    squeeze = masks.ndim == 2
+    if squeeze:
+        masks = masks[None]
+    out = _postprocess_masks_v4(masks, interpret=interpret)
+    return out[0] if squeeze else out
+
+
 @functools.partial(jax.jit, static_argnames=("use_pallas_cc", "interpret"))
 def postprocess_mask_jit(mask: jax.Array, use_pallas_cc: bool = False,
                          interpret: bool = False) -> jax.Array:

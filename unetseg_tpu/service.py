@@ -252,31 +252,17 @@ class SegmentationService:
     # -- partitioned engine pool --------------------------------------------
 
     def _build_partitions(self) -> None:
-        import jax
-
-        base = engine.get_engine()
-        devs = jax.devices()
-        n = min(self._partitions, len(devs))
         # remainder devices spread round-robin so partition sizes differ by
         # at most 1 (ADVICE r3: 8 devs / 3 parts -> 3,3,2, not 2,2,4)
-        per, extra = divmod(len(devs), n)
-        sizes = [per + (1 if i < extra else 0) for i in range(n)]
-        bounds = [0]
-        for s in sizes:
-            bounds.append(bounds[-1] + s)
-        fresh = [
-            engine.InferenceEngine(
-                base.params, base.cfg, self._device_postprocess,
-                devices=devs[bounds[i]:bounds[i + 1]])
-            for i in range(n)
-        ]
+        fresh = engine.make_partitioned_engines(
+            self._partitions, self._device_postprocess)
         with self._pool_cv:
             # re-init while requests are in flight: bump the generation so
             # engines checked out against the OLD checkpoint are discarded
             # on check-in instead of re-entering the pool
             self._pool_gen += 1
             self._engines = fresh
-            self._n_built = n
+            self._n_built = len(fresh)
             self._pool_cv.notify_all()
 
     def _checkout(self):
