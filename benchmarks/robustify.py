@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Robustification pass: widen the training family, hold one family out.
+
+The shift evaluation (benchmarks/eval_shift.py, RESULTS_r4 §7) exposed two
+honest weaknesses: the 31M teacher collapses under illumination gradients
+(min fg-IoU 0.879) and the compact student under-segments concave crescents
+(0.986).  With no real data reachable, the defensible fix is the same one a
+production team would apply to a distribution gap: broaden the training
+family.
+
+Design — a CONTROLLED generalization experiment, not teaching to the test:
+
+* teacher fine-tune + student re-distill see standard ellipses, LOBULATED
+  and ILLUMINATION-GRADIENT slices;
+* CRESCENT stays fully HELD OUT of all training — it is the probe that
+  generalization (concavity handling) improved rather than being memorized;
+* in-family gates are re-verified (bench val 991 must stay >= 0.999 min).
+
+Stage 1 (this script, [teacher] mode): fine-tune models/flagship_synth.ckpt.
+Stage 2 ([student] mode): re-distill slim4 on the same mixture.
+
+Usage: python benchmarks/robustify.py teacher [steps]
+       python benchmarks/robustify.py student [steps] [n_train] [out]
+"""
+
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TEACHER = os.path.join(REPO, "models", "flagship_synth.ckpt")
+
+
+def gen_mixture(rng, n):
+    """u8 + labels drawn 50% standard / 25% lobulated / 25% illum.
+    Crescent is deliberately absent (the held-out probe)."""
+    from unetseg_tpu import data
+    from unetseg_tpu.io import native
+
+    imgs = np.empty((n, 512, 512), np.uint8)
+    labels = np.empty((n, 512, 512), np.uint8)
+    for i in range(n):
+        u = rng.random()
+        if u < 0.5:
+            raw, lab = data.synth_slice(rng, 512, r_range=(0.08, 0.3))
+        elif u < 0.75:
+            raw, lab = data.synth_slice_shifted(rng, 512, "lobulated")
+        else:
+            raw, lab = data.synth_slice_shifted(rng, 512, "illum")
+        imgs[i] = native.preprocess_u8(raw, 512)
+        labels[i] = lab
+    return imgs, labels
+
+
+def eval_report(params, cfg, tag):
+    import jax
+    import jax.numpy as jnp
+
+    from unetseg_tpu import data, metrics
+    from unetseg_tpu.io import native
+    from unetseg_tpu.models import registry
+    from unetseg_tpu.ops.preprocess import preprocess_oracle_u8
+
+    fpred = jax.jit(lambda p, u8: jnp.argmax(
+        registry.apply(p, u8.astype(jnp.float32)[..., None] / 255.0, cfg),
+        axis=-1).astype(jnp.uint8))
+
+    def run(u8, labels, name):
+        preds = np.concatenate([
+            np.asarray(fpred(params, jnp.asarray(u8[i:i + 16])))
+            for i in range(0, len(u8), 16)])
+        ious = [float(metrics.foreground_iou(preds[i], labels[i]))
+                for i in range(len(labels))]
+        print(f"[{tag}] {name:12s} mean {np.mean(ious):.5f} "
+              f"min {np.min(ious):.5f}", flush=True)
+
+    # in-family gate (bench stream)
+    vrng = np.random.default_rng(991)
+    raws, labels = data.synth_batch(vrng, 32)
+    u8 = np.stack([preprocess_oracle_u8(r, 512) for r in raws])
+    run(u8, labels, "bench-991")
+    # shifted families (crescent = held out)
+    for kind in ("lobulated", "illum", "crescent"):
+        krng = np.random.default_rng(hash(kind) % 2**31)
+        raws = np.empty((24, 512, 512), np.uint16)
+        labs = np.empty((24, 512, 512), np.uint8)
+        for i in range(24):
+            raws[i], labs[i] = data.synth_slice_shifted(krng, 512, kind)
+        u8 = np.stack([native.preprocess_u8(r, 512) for r in raws])
+        run(u8, labs, kind)
+
+
+def teacher_mode(steps):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from unetseg_tpu import checkpoint, train
+
+    params0, serve_cfg = checkpoint.load(TEACHER)
+    cfg = dataclasses.replace(serve_cfg, remat=True)
+    tx = train.make_optimizer(lr=1e-4, total_steps=steps)
+    params_f32 = jax.device_put(jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float32), params0))
+    state = train.TrainState(
+        params_f32, tx.init(params_f32), jnp.zeros((), jnp.int32))
+
+    rng = np.random.default_rng(777)
+    t0 = time.time()
+    imgs_h, labels_h = gen_mixture(rng, 384)
+    print(f"data gen: {time.time()-t0:.1f}s", flush=True)
+    imgs, labels = jax.device_put(imgs_h), jax.device_put(labels_h)
+
+    def step_fn(state, idx, imgs, labels):
+        bi = jnp.take(imgs, idx, 0).astype(jnp.float32)[..., None] / 255.0
+        bl = jnp.take(labels, idx, 0).astype(jnp.int32)
+        return train.train_step(state, (bi, bl), cfg=cfg, tx=tx,
+                                boundary_boost=8.0)
+
+    step_jit = jax.jit(step_fn, donate_argnums=(0,))
+    order = np.arange(384)
+    t0 = time.time()
+    for s in range(steps):
+        if (s * 8) % 384 == 0:
+            rng.shuffle(order)
+        idx = jnp.asarray(order[(s * 8) % 384:(s * 8) % 384 + 8])
+        state, loss = step_jit(state, idx, imgs, labels)
+        if s % 200 == 0 or s == steps - 1:
+            print(f"step {s:4d} loss {float(loss):.4f} "
+                  f"({(time.time()-t0)/(s+1)*1e3:.0f} ms/step)", flush=True)
+
+    eval_report(state.params, serve_cfg, "teacher")
+    shutil.copy2(TEACHER, TEACHER + ".bak2")
+    p16 = jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float16), jax.device_get(state.params))
+    checkpoint.save(TEACHER, p16, serve_cfg)
+    print(f"saved {TEACHER}")
+
+
+def student_mode(steps, n_train, out_path):
+    import jax
+    import jax.numpy as jnp
+
+    from unetseg_tpu import checkpoint, train
+    from unetseg_tpu.config import ModelConfig
+    from unetseg_tpu.models import registry
+
+    t_params, t_cfg = checkpoint.load(TEACHER)
+    t_params = jax.device_put(t_params)
+    cfg = ModelConfig(stem=4, depth=2, base_channels=64)
+    tx = train.make_optimizer(lr=3e-4, total_steps=steps)
+    state = train.init_state(jax.random.key(0), cfg, tx)
+
+    rng = np.random.default_rng(4242)
+    t0 = time.time()
+    imgs_h, labels_h = gen_mixture(rng, n_train)
+    print(f"data gen: {time.time()-t0:.1f}s", flush=True)
+    imgs, labels = jax.device_put(imgs_h), jax.device_put(labels_h)
+
+    @jax.jit
+    def teacher_fwd(p, u8):
+        x = u8.astype(jnp.float32)[..., None] / 255.0
+        return registry.apply(p, x, t_cfg).astype(jnp.bfloat16)
+
+    t0 = time.time()
+    t_logits = jnp.concatenate([
+        teacher_fwd(t_params, imgs[i:i + 16]) for i in range(0, n_train, 16)])
+    _ = int(t_logits[0, 0, 0, 0] != 0)
+    print(f"teacher logits: {time.time()-t0:.1f}s", flush=True)
+
+    def step_fn(state, idx, imgs, labels, t_logits):
+        bi = jnp.take(imgs, idx, 0).astype(jnp.float32)[..., None] / 255.0
+        bl = jnp.take(labels, idx, 0).astype(jnp.int32)
+        bt = jnp.take(t_logits, idx, 0).astype(jnp.float32)
+        return train.distill_step(state, (bi, bl, bt), cfg=cfg, tx=tx,
+                                  alpha=0.5, temperature=2.0,
+                                  boundary_boost=8.0)
+
+    step_jit = jax.jit(step_fn, donate_argnums=(0,))
+    order = np.arange(n_train)
+    t0 = time.time()
+    for s in range(steps):
+        if (s * 8) % n_train == 0:
+            rng.shuffle(order)
+        idx = jnp.asarray(order[(s * 8) % n_train:(s * 8) % n_train + 8])
+        state, loss = step_jit(state, idx, imgs, labels, t_logits)
+        if s % 400 == 0 or s == steps - 1:
+            print(f"step {s:5d} loss {float(loss):.4f} "
+                  f"({(time.time()-t0)/(s+1)*1e3:.0f} ms/step)", flush=True)
+
+    eval_report(state.params, cfg, "student")
+    p16 = jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float16), jax.device_get(state.params))
+    checkpoint.save(out_path, p16, cfg)
+    print(f"saved {out_path}")
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1]
+    if mode == "teacher":
+        teacher_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 3000)
+    else:
+        student_mode(int(sys.argv[2]) if len(sys.argv) > 2 else 14400,
+                     int(sys.argv[3]) if len(sys.argv) > 3 else 1024,
+                     sys.argv[4] if len(sys.argv) > 4
+                     else os.path.join(REPO, "models",
+                                       "flagship_slim4_robust.ckpt"))
