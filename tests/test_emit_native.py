@@ -172,3 +172,59 @@ def test_run_study_artifact_tiers(tmp_path):
     with pytest.raises(ValueError):
         ppl.run_study(params, cfg, paths, 512, 512, artifacts="full",
                       out_dir=out_dir)  # host_preprocess required
+
+
+def test_process_batch_native_emitter_matches_cv2(tmp_path):
+    """engine.process_batch(emitter='native') must produce pixel-identical
+    PNGs and byte-identical JSONs to the default cv2 path (overlay bytes
+    differ by encoder; pixels compared)."""
+    import jax
+
+    from unetseg_tpu import checkpoint, engine
+    from unetseg_tpu.config import ModelConfig
+    from unetseg_tpu.io import raw as raw_io
+    from unetseg_tpu.models import registry
+
+    cfg = ModelConfig(base_channels=8, depth=2)
+    params = jax.jit(registry.init, static_argnums=(1,))(jax.random.key(2),
+                                                         cfg)
+    ckpt = str(tmp_path / "m.ckpt")
+    checkpoint.save(ckpt, jax.tree_util.tree_map(np.asarray, params), cfg)
+    rng = np.random.default_rng(8)
+    paths = []
+    for i in range(3):
+        raw, _ = data.synth_slice(rng, 512)
+        p = str(tmp_path / f"b{i}_512_512.raw")
+        raw_io.write_raw(p, raw)
+        paths.append(p)
+    try:
+        assert engine.initialize_engine(ckpt, log_dir=str(tmp_path / "log"))
+        o_cv, o_nat = str(tmp_path / "cv"), str(tmp_path / "nat")
+        ok1, f1 = engine.process_batch(paths, 512, 512, [o_cv] * 3,
+                                       batch_size=2)
+        ok2, f2 = engine.process_batch(paths, 512, 512, [o_nat] * 3,
+                                       batch_size=2, emitter="native")
+        assert (ok1, f1) == (3, 0) and (ok2, f2) == (3, 0)
+        import cv2
+
+        for i in range(3):
+            b = f"b{i}_512_512"
+            for suffix in ("_normalized.png", "_mask.png"):
+                a = cv2.imread(f"{o_cv}/{b}{suffix}", cv2.IMREAD_UNCHANGED)
+                c = cv2.imread(f"{o_nat}/{b}{suffix}", cv2.IMREAD_UNCHANGED)
+                assert np.array_equal(a, c), (b, suffix)
+            with open(f"{o_cv}/{b}_original_sizes.json", "rb") as fa, \
+                    open(f"{o_nat}/{b}_original_sizes.json", "rb") as fb:
+                assert fa.read() == fb.read()
+            # contour JSON + overlay exist iff contours found, in BOTH paths
+            assert os.path.exists(f"{o_cv}/{b}.json") == \
+                os.path.exists(f"{o_nat}/{b}.json")
+            if os.path.exists(f"{o_cv}/{b}.json"):
+                with open(f"{o_cv}/{b}.json", "rb") as fa, \
+                        open(f"{o_nat}/{b}.json", "rb") as fb:
+                    assert fa.read() == fb.read()
+                a = cv2.imread(f"{o_cv}/{b}_contour_overlay.png")
+                c = cv2.imread(f"{o_nat}/{b}_contour_overlay.png")
+                assert np.array_equal(a, c)
+    finally:
+        engine.cleanup_resources()

@@ -34,11 +34,13 @@ def print_usage() -> None:
     print("  --tta                         - 8-fold flip/rot90 ensemble inference")
     print("  --window N                    - Native-resolution sliding-window inference")
     print("  --per-class                   - Also emit {base}_classes.json (per-class shapes)")
+    print("  --fast-emit                   - Batched C++ artifact emission (with --batched)")
     print("  <input>                       - Path to image file or directory")
 
 
 def _process_directory(input_path: str, width: int, height: int,
-                       output_dir: str, recursive: bool, batched: bool) -> None:
+                       output_dir: str, recursive: bool, batched: bool,
+                       fast_emit: bool = False) -> None:
     print(f"Processing directory: {input_path}")
     print(f"Recursive: {'Yes' if recursive else 'No'}")
 
@@ -58,7 +60,9 @@ def _process_directory(input_path: str, width: int, height: int,
         out_dirs.append(file_output_dir)
 
     if batched:
-        ok, fail = engine.process_batch(files, width, height, out_dirs)
+        ok, fail = engine.process_batch(
+            files, width, height, out_dirs,
+            emitter="native" if fast_emit else "cv2")
     else:
         ok = fail = 0
         for f, d in zip(files, out_dirs):
@@ -105,10 +109,10 @@ def repl(stdin=None) -> int:
                 print("Error: Engine not initialized", file=sys.stderr)
                 continue
             args = parts[1:]
-            recursive = batched = tta = per_class = False
+            recursive = batched = tta = per_class = fast_emit = False
             window = None
             while args and args[0] in ("-r", "--batched", "--tta", "--window",
-                                       "--per-class"):
+                                       "--per-class", "--fast-emit"):
                 flag = args.pop(0)
                 if flag == "-r":
                     recursive = True
@@ -122,6 +126,8 @@ def repl(stdin=None) -> int:
                     window = int(args.pop(0))
                 elif flag == "--per-class":
                     per_class = True
+                elif flag == "--fast-emit":
+                    fast_emit = True
             if len(args) < 3:
                 print("Error: Invalid process command", file=sys.stderr)
                 continue
@@ -137,7 +143,8 @@ def repl(stdin=None) -> int:
             try:
                 if os.path.isdir(input_path):
                     _process_directory(
-                        input_path, width, height, output_dir, recursive, batched
+                        input_path, width, height, output_dir, recursive,
+                        batched, fast_emit
                     )
                 elif os.path.isfile(input_path):
                     print(f"Processing file: {input_path}")

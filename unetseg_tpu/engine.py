@@ -572,7 +572,8 @@ def process_single_image(raw_path: str, width: int, height: int,
 
 def process_batch(raw_paths: List[str], width: int, height: int,
                   output_dirs: List[str], batch_size: int = 128,
-                  eng: Optional[InferenceEngine] = None) -> Tuple[int, int]:
+                  eng: Optional[InferenceEngine] = None,
+                  emitter: str = "cv2") -> Tuple[int, int]:
     """Batched pipeline over same-sized RAW slices.
 
     Host loads + device-fused preprocess + batched UNet + postprocess, with
@@ -582,10 +583,17 @@ def process_batch(raw_paths: List[str], width: int, height: int,
     of 128 is the measured dispatch-amortization sweet spot for the slim4
     serving geometry (benchmarks/RESULTS_r3.md); smaller directories
     compile their own (persistently cached) tail-size executables.
+
+    ``emitter="native"`` routes artifact writing through the batched C++
+    emitter (csrc/emit.cpp, ~6x less host time per slice): PNG pixels and
+    JSON bytes identical to the cv2 path; overlay PNG is pixel-identical
+    but stored-deflate-encoded rather than cv2's default stream.  The
+    default stays "cv2" for byte-level overlay parity with the reference.
     """
     eng = eng or get_engine()
     if eng is None:
         raise RuntimeError("Engine not initialized")
+    use_native = emitter == "native" and native.emit_slice_available()
 
     n_ok = 0
     n_fail = 0
@@ -595,6 +603,20 @@ def process_batch(raw_paths: List[str], width: int, height: int,
         nonlocal n_ok, n_fail
         masks, u8s, metas = entry
         masks = eng.cleanup_masks(masks)
+        if use_native:
+            dirs = [d for _, d in metas]
+            for d in set(dirs):
+                os.makedirs(d, exist_ok=True)
+            bases = [os.path.splitext(os.path.basename(p))[0]
+                     for p, _ in metas]
+            counts = native.emit_batch(
+                np.asarray(u8s[: len(metas)]),
+                np.asarray(masks[: len(metas)]), dirs, bases,
+                [os.path.basename(p) for p, _ in metas], width, height,
+                native.TIER_FULL)
+            n_ok += int(np.sum(counts >= 0))
+            n_fail += int(np.sum(counts < 0))
+            return
         for k, (path, out_dir) in enumerate(metas):
             try:
                 base = os.path.splitext(os.path.basename(path))[0]
