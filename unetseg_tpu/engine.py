@@ -108,13 +108,10 @@ class InferenceEngine:
             logits = model_registry.apply(params, x, self.cfg)
             mask = decode.decode_mask(logits, self.cfg.num_classes)
         if self.device_postprocess:
-            import functools
-
             from unetseg_tpu.ops import postprocess as device_post
 
             on_tpu = jax.devices()[0].platform == "tpu"
-            mask = jax.vmap(functools.partial(
-                device_post.postprocess_mask, use_pallas_cc=on_tpu))(mask)
+            mask = device_post.postprocess_masks(mask, use_pallas_cc=on_tpu)
         return mask
 
     def _put(self, arr) -> jax.Array:

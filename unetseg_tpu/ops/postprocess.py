@@ -68,12 +68,13 @@ def postprocess_mask(mask: jax.Array, use_pallas_cc: bool = False,
                      interpret: bool = False) -> jax.Array:
     """(H, W) uint8 class mask -> cleaned {0, 2} uint8 mask (one XLA program).
 
-    ``use_pallas_cc`` routes to the scatter-lean device fast path
-    (:func:`_postprocess_mask_pallas`) — device postprocess v3; the XLA
-    branch below is the readable oracle the fast path is tested against.
+    ``use_pallas_cc`` routes to the device fast path (v4,
+    :func:`_postprocess_masks_v4`: Pallas CCL + slot-compressed component
+    stats, 1.4-1.7 ms/mask on a v5e chip); the XLA branch below is the
+    readable oracle the fast path is tested against.
     """
     if use_pallas_cc:
-        return _postprocess_mask_pallas(mask, interpret=interpret)
+        return _postprocess_masks_v4(mask[None], interpret=interpret)[0]
 
     h, w = mask.shape
     min_area = min_area_threshold(h, w)
@@ -89,70 +90,10 @@ def postprocess_mask(mask: jax.Array, use_pallas_cc: bool = False,
     return jnp.where(keep, jnp.uint8(FOREGROUND_VALUE), jnp.uint8(0))
 
 
-def _region_predicate(region: jax.Array, slot_bit: jax.Array,
-                      lbl: jax.Array, idx: jax.Array,
-                      interpret: bool) -> jax.Array:
-    """Broadcast a per-root predicate to every pixel of its component
-    WITHOUT a 262k-element table gather (the ~3 ms/mask XLA gather the
-    profile pinned down — benchmarks/exp_devpost_profile.py).
-
-    Each component's root pixel (lbl == idx, i.e. the pixel whose flat
-    index IS the root label) seeds ``root*2 + (0 if predicate else 1)``;
-    every other member seeds the neutral ``root*2 + 1``.  One segmented
-    min-propagation (the CCL kernel on custom seeds) floods the component
-    with its minimum, so bit 0 of the result is the root's predicate.
-    """
-    from unetseg_tpu.ops.cc_pallas import propagate_min_pallas
-
-    h, w = region.shape
-    sent2 = 2 * h * w + 2
-    is_root = lbl == idx
-    seed = lbl * 2 + jnp.where(is_root & slot_bit, 0, 1)
-    packed = propagate_min_pallas(
-        jnp.where(region, seed, sent2), sentinel=sent2, interpret=interpret)
-    return region & ((packed & 1) == 0)
-
-
-def _postprocess_mask_pallas(mask: jax.Array,
-                             interpret: bool = False) -> jax.Array:
-    """Device postprocess v3 — same semantics as the XLA oracle above
-    (postprocess.cpp:47-79), restructured for the TPU's scatter aversion:
-
-    * per-component stats shrink from five 262k-element scatters
-      (cc.cc_stats, measured 18.3 ms/mask) to ONE area scatter-add plus a
-      ~2k-element border-label scatter ("bbox touches no border" is
-      equivalent to "contains no border pixel" for a connected set);
-    * the two predicate table-gathers (3 ms/mask each) become
-      min-propagation passes in VMEM (~1 ms, :func:`_region_predicate`).
-    """
-    from unetseg_tpu.ops.cc_pallas import cc_label_pallas
-
-    h, w = mask.shape
-    size = h * w
-    min_area = min_area_threshold(h, w)
-    idx = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
-           + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1))
-
-    # --- hole fill (postprocess.cpp:13-44) -------------------------------
-    inv = mask != FOREGROUND_VALUE
-    lbl = cc_label_pallas(inv, interpret=interpret)
-    area = jnp.zeros((size + 1,), jnp.int32).at[lbl.reshape(-1)].add(
-        inv.reshape(-1).astype(jnp.int32))
-    border_lbl = jnp.concatenate([lbl[0], lbl[-1], lbl[:, 0], lbl[:, -1]])
-    touch = jnp.zeros((size + 1,), jnp.bool_).at[border_lbl].set(True)
-    hole_slot = ((area[:size] < min_area) & ~touch[:size]).reshape(h, w)
-    fill = _region_predicate(inv, hole_slot, lbl, idx, interpret)
-    mask = jnp.where(fill, jnp.uint8(FOREGROUND_VALUE), mask)
-
-    # --- binarize + open + component area filter (postprocess.cpp:57-76) -
-    fg = morphology.open_(mask == FOREGROUND_VALUE, MORPH_KERNEL_SIZE)
-    lbl2 = cc_label_pallas(fg, interpret=interpret)
-    area2 = jnp.zeros((size + 1,), jnp.int32).at[lbl2.reshape(-1)].add(
-        fg.reshape(-1).astype(jnp.int32))
-    keep_slot = (area2[:size] >= min_area).reshape(h, w)
-    keep = _region_predicate(fg, keep_slot, lbl2, idx, interpret)
-
-    return jnp.where(keep, jnp.uint8(FOREGROUND_VALUE), jnp.uint8(0))
+# Device postprocess v3 (ONE area scatter-add + min-propagation predicate
+# floods, 6.7 ms/mask) was retired in round 4: v4 below measures 1.4-1.7
+# ms/mask with identical semantics.  The generic min-flood primitive v3
+# introduced (cc_pallas.propagate_min_pallas) remains available and tested.
 
 
 # ---------------------------------------------------------------------------
@@ -166,19 +107,23 @@ def _slot_roots(lbl: jax.Array, region: jax.Array):
     """Up to K component roots as a STATIC-size vector (padded -1).
 
     A component's root label is its minimum member flat index, so roots are
-    exactly the pixels whose label equals their own index.  nonzero(size=K)
-    compiles to a bounded cumsum — no data-dependent shapes."""
+    exactly the pixels whose label equals their own index.  Extraction is
+    ``lax.top_k`` on the masked score ``size - idx`` (1.15 ms/mask on the
+    chip) — NOT ``jnp.nonzero(size=K)``, whose bounded-size lowering runs
+    3.2 ms/mask (measured, round 4)."""
     h, w = lbl.shape
     size = h * w
     idx = jnp.arange(size, dtype=jnp.int32)
     is_root = region.reshape(-1) & (lbl.reshape(-1) == idx)
     n_roots = jnp.sum(is_root.astype(jnp.int32))
-    roots = jnp.nonzero(is_root, size=_K_SLOTS, fill_value=-1)[0].astype(
-        jnp.int32)
+    score = jnp.where(is_root, size - idx, 0)
+    top, _ = jax.lax.top_k(score, min(_K_SLOTS, size))  # tiny-image clamp
+    roots = jnp.where(top > 0, size - top, -1)
     return roots, n_roots
 
 
 def _region_predicate_fast(lbl: jax.Array, region: jax.Array,
+                           roots: jax.Array,
                            min_area: int, mode: str) -> jax.Array:
     """Per-pixel component predicate without scatters, gathers or floods.
 
@@ -187,11 +132,11 @@ def _region_predicate_fast(lbl: jax.Array, region: jax.Array,
     components into K=128 static slots (real masks have a handful) and
     evaluates areas / border-touch / the predicate as K-row compare-reduce
     sweeps — pure VPU streaming.  Caller guarantees <= K components
-    (overflow routes to :func:`_region_predicate_exact` at batch level).
+    (overflow routes to :func:`_region_predicate_exact` at batch level)
+    and supplies the roots from its counting pass (one extraction, reused).
     """
     h, w = lbl.shape
     flat = lbl.reshape(-1)
-    roots, _ = _slot_roots(lbl, region)
     eq = flat[None, :] == roots[:, None]               # (K, HW)
     area_k = jnp.sum(eq, axis=1, dtype=jnp.int32)
     if mode == "hole":
@@ -227,16 +172,20 @@ def _batch_predicate(lbl: jax.Array, region: jax.Array, min_area: int,
     """Batched predicate with ONE cond at batch level: the slot fast path
     runs unless ANY mask in the batch has > K components (vmap of cond
     would execute both branches; a real branch needs the cond OUTSIDE)."""
-    n_roots = jax.vmap(lambda l, r: _slot_roots(l, r)[1])(lbl, region)
+    roots, n_roots = jax.vmap(_slot_roots)(lbl, region)
     fast = functools.partial(_region_predicate_fast, min_area=min_area,
                              mode=mode)
-    exact = functools.partial(_region_predicate_exact, min_area=min_area,
-                              mode=mode)
+
+    def exact(args):
+        l, r, _ = args
+        return jax.vmap(functools.partial(
+            _region_predicate_exact, min_area=min_area, mode=mode))(l, r)
+
     return jax.lax.cond(
         jnp.max(n_roots) <= _K_SLOTS,
         lambda args: jax.vmap(fast)(*args),
-        lambda args: jax.vmap(exact)(*args),
-        (lbl, region),
+        exact,
+        (lbl, region, roots),
     )
 
 
@@ -278,11 +227,21 @@ def postprocess_mask_jit(mask: jax.Array, use_pallas_cc: bool = False,
     return postprocess_mask(mask, use_pallas_cc, interpret)
 
 
+def postprocess_masks(masks: jax.Array, use_pallas_cc: bool = False,
+                      interpret: bool = False) -> jax.Array:
+    """Batched cleanup, traceable inside a larger program.
+
+    The fast path goes straight to :func:`_postprocess_masks_v4` — NEVER
+    vmap ``postprocess_mask(use_pallas_cc=True)``: v4's exact-fallback
+    cond sits at batch level, and vmap of a cond executes both branches.
+    """
+    if use_pallas_cc:
+        return _postprocess_masks_v4(masks, interpret=interpret)
+    return jax.vmap(postprocess_mask)(masks)
+
+
 @functools.partial(jax.jit, static_argnames=("use_pallas_cc", "interpret"))
 def postprocess_batch(masks: jax.Array, use_pallas_cc: bool = False,
                       interpret: bool = False) -> jax.Array:
-    """(N, H, W) uint8 -> (N, H, W) uint8, vmapped over the batch."""
-    return jax.vmap(
-        functools.partial(postprocess_mask, use_pallas_cc=use_pallas_cc,
-                          interpret=interpret)
-    )(masks)
+    """(N, H, W) uint8 -> (N, H, W) uint8 (jitted entry)."""
+    return postprocess_masks(masks, use_pallas_cc, interpret)

@@ -42,9 +42,8 @@ def make_sharded_pipeline(cfg: ModelConfig, mesh: Mesh, spatial: bool = False):
         )
         logits = model_registry.apply(params, x, cfg)
         mask = decode.decode_mask(logits, cfg.num_classes)
-        return jax.vmap(functools.partial(
-            postprocess.postprocess_mask, use_pallas_cc=_device_cc()
-        ))(mask)
+        return postprocess.postprocess_masks(
+            mask, use_pallas_cc=_device_cc())
 
     return jax.jit(
         pipeline,

@@ -141,9 +141,8 @@ def make_tiled_batch_pipeline(cfg: ModelConfig, window: int = 512,
         if device_postprocess:
             from unetseg_tpu.parallel.batch import _device_cc
 
-            mask = jax.vmap(functools.partial(
-                postprocess.postprocess_mask,
-                use_pallas_cc=_device_cc()))(mask)
+            mask = postprocess.postprocess_masks(
+                mask, use_pallas_cc=_device_cc())
         return mask
 
     return jax.jit(pipeline)

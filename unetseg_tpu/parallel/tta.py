@@ -193,13 +193,12 @@ def make_tta_weightspace_pipeline(cfg: ModelConfig,
             acc = logits if acc is None else acc + logits
         mask = decode.decode_mask(acc / N_TRANSFORMS, cfg.num_classes)
         if device_postprocess:
-            import functools as _ft
-
             from unetseg_tpu.parallel.batch import _device_cc
 
-            mask = jax.vmap(_ft.partial(
-                postprocess.postprocess_mask,
-                use_pallas_cc=_device_cc()))(mask)
+            # batched entry (NOT vmap of the single-mask fn: the v4
+            # exact-fallback cond lives at batch level)
+            mask = postprocess.postprocess_masks(
+                mask, use_pallas_cc=_device_cc())
         return mask
 
     return jax.jit(pipeline)
@@ -253,13 +252,12 @@ def make_tta_weightspace_mesh_pipeline(cfg: ModelConfig, mesh,
         )(thetas, x)
         mask = decode.decode_mask(logits / N_TRANSFORMS, cfg.num_classes)
         if device_postprocess:
-            import functools as _ft
-
             from unetseg_tpu.parallel.batch import _device_cc
 
-            mask = jax.vmap(_ft.partial(
-                postprocess.postprocess_mask,
-                use_pallas_cc=_device_cc()))(mask)
+            # batched entry (NOT vmap of the single-mask fn: the v4
+            # exact-fallback cond lives at batch level)
+            mask = postprocess.postprocess_masks(
+                mask, use_pallas_cc=_device_cc())
         return mask
 
     return jax.jit(pipeline)
@@ -293,13 +291,10 @@ def make_tta_batch_pipeline(cfg: ModelConfig, mesh=None,
         mask = decode.decode_mask(jnp.mean(undone, axis=1),
                                   cfg.num_classes)
         if device_postprocess:
-            import functools
-
             from unetseg_tpu.parallel.batch import _device_cc
 
-            mask = jax.vmap(functools.partial(
-                postprocess.postprocess_mask,
-                use_pallas_cc=_device_cc()))(mask)
+            mask = postprocess.postprocess_masks(
+                mask, use_pallas_cc=_device_cc())
         return mask
 
     return jax.jit(pipeline)
