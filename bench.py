@@ -4,11 +4,12 @@
 Measures the dense device path the framework deploys — u8 normalize ->
 UNet -> argmax decode — as one XLA executable, batch-32, on whatever backend
 JAX selects (the driver runs this on one real TPU chip).  The serving model
-is the best distilled student present (models/flagship_slim4.ckpt: stem=4
-space-to-depth, base-64 depth-2, all internals at 128²; then
-models/flagship_slim.ckpt: stem=2, internals at 256² — both distilled from
-the 512² flagship teacher to >=0.999 mask agreement); it falls back to the
-flagship and then to random init when checkpoints are absent.  Mask cleanup runs on the host in production,
+is the best distilled student present (models/flagship_slim4.ckpt, else
+flagship_slim4_robust.ckpt: stem=4 space-to-depth, base-64 depth-2, all
+internals at 128²; then models/flagship_slim.ckpt: stem=2, internals at
+256² — all distilled from the 512² flagship teacher to >=0.999 mask
+agreement); it falls back to the flagship and then to random init when
+checkpoints are absent.  Mask cleanup runs on the host in production,
 pipelined off the device's critical path (see the comment in main()).
 
 Prints ONE JSON line covering the BASELINE.md metrics:
@@ -35,6 +36,7 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 SLIM4 = os.path.join(_DIR, "models", "flagship_slim4.ckpt")
+SLIM4_ROBUST = os.path.join(_DIR, "models", "flagship_slim4_robust.ckpt")
 SLIM = os.path.join(_DIR, "models", "flagship_slim.ckpt")
 FLAGSHIP = os.path.join(_DIR, "models", "flagship_synth.ckpt")
 
@@ -58,12 +60,15 @@ def main() -> int:
     from unetseg_tpu.models import registry as model_registry, unet
     from unetseg_tpu.ops import decode, preprocess
 
-    if os.path.exists(SLIM4):
-        # stem=4 base-64 depth-2 distilled student (train_slim.py, 7200
-        # steps): 0.9994 teacher-mask IoU at 1.9 M params / 3.7 MB.
+    if os.path.exists(SLIM4) or os.path.exists(SLIM4_ROBUST):
+        # stem=4 base-64 depth-2 distilled student (train_slim.py /
+        # benchmarks/robustify.py): 1.9 M params / 3.7 MB.  The in-family
+        # specialist (flagship_slim4.ckpt) is preferred when present; the
+        # wide-family robust student is the shipped fallback.
         from unetseg_tpu import checkpoint
 
-        params, cfg = checkpoint.load(SLIM4)
+        path = SLIM4 if os.path.exists(SLIM4) else SLIM4_ROBUST
+        params, cfg = checkpoint.load(path)
         params = jax.device_put(params)
         serving = "slim4"
     elif os.path.exists(SLIM):

@@ -50,6 +50,7 @@ def main() -> int:
     mdir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "models")
     slim = next((p for p in (os.path.join(mdir, "flagship_slim4.ckpt"),
+                             os.path.join(mdir, "flagship_slim4_robust.ckpt"),
                              os.path.join(mdir, "flagship_slim.ckpt"))
                  if os.path.exists(p)), None)
     if slim:
