@@ -1,0 +1,163 @@
+"""Confidence-cascade serving: router statistic + engine routing.
+
+The cascade re-runs slices whose boundary-margin confidence
+(unetseg_tpu/ops/confidence.py) falls below a threshold through a stronger
+fallback model (engine.attach_cascade / infer_cascade).  The reference has
+no analog — its accuracy tail lives inside the opaque .trt artifact — so
+these tests pin OUR semantics: the statistic itself, the routing splice,
+and the two degenerate thresholds (route-none == plain infer,
+route-all == fallback model everywhere).
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from unetseg_tpu import checkpoint, engine
+from unetseg_tpu.config import ModelConfig
+from unetseg_tpu.ops import confidence
+
+SMALL = ModelConfig(base_channels=8, depth=2, image_size=64,
+                    compute_dtype="float32")
+BIG = ModelConfig(base_channels=12, depth=2, image_size=64,
+                  compute_dtype="float32")
+
+
+# -- router statistic ------------------------------------------------------
+
+def test_margin_map_is_top1_minus_top2():
+    logits = jnp.asarray([[[[3.0, 1.0, 0.5], [0.2, 0.9, 0.8]]]])
+    m = confidence.margin_map(logits)
+    np.testing.assert_allclose(np.asarray(m), [[[2.0, 0.1]]], rtol=1e-6)
+
+
+def test_boundary_band_is_mask_rim():
+    mask = np.zeros((1, 16, 16), np.uint8)
+    mask[0, 4:12, 4:12] = 2
+    band = np.asarray(confidence.boundary_band(jnp.asarray(mask)))
+    # interior pixels (eroded square) and far-away background are NOT band
+    assert not band[0, 8, 8]
+    assert not band[0, 0, 0]
+    # the rim and its 1-px neighborhood are
+    assert band[0, 4, 4] and band[0, 3, 4] and band[0, 12, 8]
+
+
+def test_boundary_margin_scores_rim_only():
+    # high margin everywhere except a low-margin rim -> score ~ rim margin
+    mask = np.zeros((1, 16, 16), np.uint8)
+    mask[0, 4:12, 4:12] = 2
+    logits = np.zeros((1, 16, 16, 3), np.float32)
+    logits[..., 0] = 10.0  # background wins big everywhere...
+    logits[0, 4:12, 4:12, 0] = 0.0
+    logits[0, 4:12, 4:12, 2] = 10.0  # ...fg wins big inside
+    band = np.asarray(confidence.boundary_band(jnp.asarray(mask)))[0]
+    # squeeze the decision on the rim: runner-up almost ties
+    logits[0, band, 1] = 9.5
+    conf = float(confidence.boundary_margin(
+        jnp.asarray(logits), jnp.asarray(mask))[0])
+    assert conf == pytest.approx(0.5, abs=1e-5)
+
+
+def test_boundary_margin_empty_mask_uses_global_mean():
+    # no predicted foreground: confident-empty slices must NOT look like
+    # low-confidence slices (they would all route to the fallback)
+    mask = np.zeros((2, 8, 8), np.uint8)
+    logits = np.zeros((2, 8, 8, 3), np.float32)
+    logits[..., 0] = 4.0
+    conf = np.asarray(confidence.boundary_margin(
+        jnp.asarray(logits), jnp.asarray(mask)))
+    np.testing.assert_allclose(conf, [4.0, 4.0], rtol=1e-6)
+
+
+# -- engine routing --------------------------------------------------------
+
+@pytest.fixture()
+def cascade_engine(tmp_path):
+    cache = tmp_path / "engine" / "student.ckpt"
+    cache.parent.mkdir()
+    checkpoint.create(str(cache), SMALL, seed=0)
+    fb = tmp_path / "engine" / "fallback.ckpt"
+    checkpoint.create(str(fb), BIG, seed=1)
+    assert engine.initialize_engine(str(cache), cascade_ckpt=str(fb))
+    yield engine.get_engine(), str(fb)
+    engine.cleanup_resources()
+
+
+def _batch(n=5, size=64, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(n, size, size)).astype(np.uint8)
+
+
+def test_threshold_none_matches_plain_infer(cascade_engine):
+    eng, _ = cascade_engine
+    eng.cascade_threshold = -np.inf  # nothing routes
+    u8 = _batch()
+    masks, conf, n_routed = eng.infer_cascade(u8)
+    assert n_routed == 0
+    np.testing.assert_array_equal(masks, np.asarray(eng.infer(u8.copy())))
+    assert conf.shape == (5,) and np.isfinite(conf).all()
+
+
+def test_threshold_all_matches_fallback_model(cascade_engine):
+    eng, fb_path = cascade_engine
+    eng.cascade_threshold = np.inf  # everything routes
+    u8 = _batch()
+    masks, _conf, n_routed = eng.infer_cascade(u8)
+    assert n_routed == 5
+    fb_params, fb_cfg = checkpoint.load(fb_path)
+    fb_eng = engine.InferenceEngine(fb_params, fb_cfg)
+    np.testing.assert_array_equal(masks, np.asarray(fb_eng.infer(u8.copy())))
+
+
+def test_partial_routing_splices_correctly(cascade_engine):
+    eng, fb_path = cascade_engine
+    u8 = _batch(n=7)
+    # route exactly the below-median-confidence slices
+    _, conf, _ = eng.infer_cascade(u8)  # first call just to read conf
+    eng.cascade_threshold = float(np.median(conf))
+    masks, conf2, n_routed = eng.infer_cascade(u8.copy())
+    np.testing.assert_allclose(conf2, conf, rtol=1e-6)
+    routed = np.nonzero(conf < eng.cascade_threshold)[0]
+    assert n_routed == routed.size and 0 < n_routed < 7
+    fb_params, fb_cfg = checkpoint.load(fb_path)
+    fb_eng = engine.InferenceEngine(fb_params, fb_cfg)
+    fb_masks = np.asarray(fb_eng.infer(u8.copy()))
+    student_masks = np.asarray(eng.infer(u8.copy()))
+    for i in range(7):
+        expect = fb_masks[i] if i in routed else student_masks[i]
+        np.testing.assert_array_equal(masks[i], expect)
+
+
+def test_process_batch_uses_cascade(cascade_engine, tmp_path):
+    from unetseg_tpu.io import raw as raw_io
+
+    eng, _ = cascade_engine
+    eng.cascade_threshold = np.inf
+    rng = np.random.default_rng(0)
+    paths, dirs = [], []
+    for i in range(3):
+        p = tmp_path / f"s{i}.raw"
+        raw_io.write_raw(str(p), rng.integers(
+            0, 65536, size=(64, 64), dtype=np.uint16))
+        paths.append(str(p))
+        dirs.append(str(tmp_path / "out"))
+    ok, fail = engine.process_batch(paths, 64, 64, dirs, batch_size=4)
+    assert (ok, fail) == (3, 0)
+    assert (tmp_path / "out" / "s0_mask.png").exists()
+
+
+def test_cli_init_cascade_flag(tmp_path, capsys):
+    import io
+
+    from unetseg_tpu import cli
+
+    cache = tmp_path / "m.ckpt"
+    checkpoint.create(str(cache), SMALL, seed=0)
+    fb = tmp_path / "fb.ckpt"
+    checkpoint.create(str(fb), BIG, seed=1)
+    stdin = io.StringIO(f"init {cache} --cascade {fb} 2.0\nexit\n")
+    assert cli.repl(stdin) == 0
+    out = capsys.readouterr().out
+    assert "Engine initialized successfully" in out

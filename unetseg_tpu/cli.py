@@ -25,7 +25,7 @@ from unetseg_tpu.io import raw as raw_io
 def print_usage() -> None:
     print("\nMedical Image Segmentation Tool (TPU)")
     print("Commands:")
-    print("  init <engine_cache_path>      - Initialize segmentation engine")
+    print("  init <engine_cache_path> [--cascade <ckpt> [threshold]] - Initialize segmentation engine")
     print("  process [-r] [--batched] [--tta] [--window N] [--per-class] <input> <width> <height> [output_dir] - Process file/directory")
     print("  exit                          - Cleanup and exit")
     print("\nOptions:")
@@ -35,6 +35,7 @@ def print_usage() -> None:
     print("  --window N                    - Native-resolution sliding-window inference")
     print("  --per-class                   - Also emit {base}_classes.json (per-class shapes)")
     print("  --fast-emit                   - Batched C++ artifact emission (with --batched)")
+    print("  --cascade <ckpt> [threshold]  - Route low-confidence slices to a stronger model (init)")
     print("  <input>                       - Path to image file or directory")
 
 
@@ -98,7 +99,24 @@ def repl(stdin=None) -> int:
                 print("Error: Missing engine cache path", file=sys.stderr)
                 continue
             cache_path = parts[1]
-            if engine.initialize_engine(cache_path):
+            cascade_ckpt, cascade_thr = None, 1.5
+            rest = parts[2:]
+            if rest and rest[0] == "--cascade":
+                if len(rest) < 2:
+                    print("Error: --cascade requires a checkpoint path",
+                          file=sys.stderr)
+                    continue
+                cascade_ckpt = rest[1]
+                if len(rest) > 2:
+                    try:
+                        cascade_thr = float(rest[2])
+                    except ValueError:
+                        print("Error: invalid cascade threshold",
+                              file=sys.stderr)
+                        continue
+            if engine.initialize_engine(cache_path,
+                                        cascade_ckpt=cascade_ckpt,
+                                        cascade_threshold=cascade_thr):
                 print("Engine initialized successfully")
                 initialized = True
             else:

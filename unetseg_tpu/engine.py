@@ -203,6 +203,98 @@ class InferenceEngine:
             u8 = self._put(u8_batch)
         return compiled(self.params, u8)
 
+    # -- confidence-cascade serving ----------------------------------------
+    def attach_cascade(self, params, cfg: ModelConfig,
+                       threshold: float = 1.5) -> None:
+        """Register a stronger fallback model for low-confidence slices.
+
+        The compact serving student's residual tail is boundary-precision on
+        hard shapes (concave rims — benchmarks/RESULTS_r4.md §7); its own
+        boundary-band decision margin identifies those slices
+        (ops/confidence.py, validated in benchmarks/exp_cascade.py).
+        ``infer_cascade`` re-runs slices whose margin falls below
+        ``threshold`` through the fallback (typically the flagship teacher
+        or the d3 student).  The reference has no analog — its tail lives
+        inside the opaque .trt artifact — but this is the standard
+        production mitigation for a distilled model's worst case.
+        """
+        self._cascade_params = jax.device_put(params, self._device)
+        self._cascade_cfg = cfg
+        self.cascade_threshold = float(threshold)
+
+    def _pipeline_conf(self, params, u8_batch):
+        """_pipeline + per-slice boundary-margin confidence (one program)."""
+        from unetseg_tpu.ops import confidence
+
+        x = preprocess.model_input_from_u8(u8_batch)[..., None]
+        logits = model_registry.apply(params, x, self.cfg)
+        mask = decode.decode_mask(logits, self.cfg.num_classes)
+        conf = confidence.boundary_margin(logits, mask)
+        if self.device_postprocess:
+            from unetseg_tpu.ops import postprocess as device_post
+
+            on_tpu = jax.devices()[0].platform == "tpu"
+            mask = device_post.postprocess_masks(mask, use_pallas_cc=on_tpu)
+        return mask, conf
+
+    def _cascade_fallback(self, bucket: int):
+        """AOT fallback-model executable for a padded subset batch."""
+        key = ("cascade", bucket)
+        if key not in self._compiled:
+            cfg = self._cascade_cfg
+
+            def fb(params, u8_batch):
+                x = preprocess.model_input_from_u8(u8_batch)[..., None]
+                logits = model_registry.apply(params, x, cfg)
+                mask = decode.decode_mask(logits, cfg.num_classes)
+                if self.device_postprocess:
+                    from unetseg_tpu.ops import postprocess as device_post
+
+                    on_tpu = jax.devices()[0].platform == "tpu"
+                    mask = device_post.postprocess_masks(
+                        mask, use_pallas_cc=on_tpu)
+                return mask
+
+            shape = jax.ShapeDtypeStruct((bucket, self.size, self.size),
+                                         jnp.uint8)
+            self._compiled[key] = jax.jit(fb).lower(
+                self._cascade_params, shape).compile()
+        return self._compiled[key]
+
+    def infer_cascade(self, u8_batch: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray, int]:
+        """Student pass + margin-routed fallback re-runs.
+
+        Returns (masks, confidences, n_routed); masks land on host (the
+        routing decision is a host branch, so this path synchronizes).
+        Requires :meth:`attach_cascade`.
+        """
+        if getattr(self, "_cascade_params", None) is None:
+            raise RuntimeError("attach_cascade first")
+        n = u8_batch.shape[0]
+        key = ("conf", n)
+        if key not in self._compiled:
+            shape = jax.ShapeDtypeStruct((n, self.size, self.size), jnp.uint8)
+            self._compiled[key] = jax.jit(self._pipeline_conf).lower(
+                self.params, shape).compile()
+        u8 = np.asarray(u8_batch)
+        mask_d, conf_d = self._compiled[key](self.params, self._put(u8))
+        # np.array (owned copy): the routed rows are spliced in place below,
+        # and np.asarray of a jax.Array is a read-only view.
+        masks, conf = np.array(mask_d), np.asarray(conf_d)
+        routed = np.nonzero(conf < self.cascade_threshold)[0]
+        if routed.size:
+            bucket = 1 << (int(routed.size) - 1).bit_length()
+            bucket = min(bucket, n)
+            sub = np.empty((bucket, self.size, self.size), np.uint8)
+            sub[:routed.size] = u8[routed]
+            if bucket > routed.size:  # pad with repeats of the first routed
+                sub[routed.size:] = u8[routed[0]]
+            fb_masks = np.asarray(self._cascade_fallback(bucket)(
+                self._cascade_params, self._put(sub)))
+            masks[routed] = fb_masks[:routed.size]
+        return masks, conf, int(routed.size)
+
     def infer_tta(self, u8_2d: np.ndarray) -> jax.Array:
         """8-fold dihedral TTA ensemble on one slice (BASELINE config 5).
 
@@ -300,11 +392,16 @@ def get_engine() -> Optional[InferenceEngine]:
 
 
 def initialize_engine(cache_path: str, log_dir: Optional[str] = None,
-                      device_postprocess: bool = False) -> bool:
+                      device_postprocess: bool = False,
+                      cascade_ckpt: Optional[str] = None,
+                      cascade_threshold: float = 1.5) -> bool:
     """Load checkpoint, open log, set up compile cache, AOT-compile batch-1.
 
     ``device_postprocess=True`` fuses the mask cleanup into the device
-    executable (all-device serving for host-poor deployments)."""
+    executable (all-device serving for host-poor deployments).
+    ``cascade_ckpt`` attaches a stronger fallback model; batched processing
+    then re-runs slices whose boundary-margin confidence falls below
+    ``cascade_threshold`` through it (see InferenceEngine.attach_cascade)."""
     global _engine
     try:
         if log_dir is None:
@@ -335,6 +432,16 @@ def initialize_engine(cache_path: str, log_dir: Optional[str] = None,
 
         params, cfg = checkpoint.load(cache_path)
         _engine = InferenceEngine(params, cfg, device_postprocess)
+        if cascade_ckpt:
+            if not os.path.exists(cascade_ckpt):
+                GLOBAL_LOG.write(
+                    f"Error: cascade checkpoint not found - {cascade_ckpt}")
+                return False
+            fb_params, fb_cfg = checkpoint.load(cascade_ckpt)
+            _engine.attach_cascade(fb_params, fb_cfg, cascade_threshold)
+            GLOBAL_LOG.write(
+                f"Cascade fallback attached: {cascade_ckpt} "
+                f"(threshold {cascade_threshold})")
         t0 = time.perf_counter()
         _engine.compile(1)
         compile_ms = int((time.perf_counter() - t0) * 1000)
@@ -671,11 +778,22 @@ def process_batch(raw_paths: List[str], width: int, height: int,
         for (chunk, dirs), u8s in prefetch_map(
                 loaders, lambda cd: load_chunk(cd[0]), chunks, 2):
             t_inf = time.perf_counter()
-            masks = eng.infer(u8s)  # async dispatch overlaps host drain
-            GLOBAL_LOG.record(
-                event="batch", n=len(chunk),
-                dispatch_ms=round((time.perf_counter() - t_inf) * 1e3, 3),
-            )
+            if getattr(eng, "_cascade_params", None) is not None:
+                # Cascade serving: margin-routed fallback re-runs.  This
+                # path synchronizes per batch (the routing decision is a
+                # host branch), trading the async overlap for the stronger
+                # model's worst-slice floor.
+                masks, _conf, n_routed = eng.infer_cascade(u8s)
+                GLOBAL_LOG.record(
+                    event="batch", n=len(chunk), cascade_routed=n_routed,
+                    dispatch_ms=round((time.perf_counter() - t_inf) * 1e3, 3),
+                )
+            else:
+                masks = eng.infer(u8s)  # async dispatch overlaps host drain
+                GLOBAL_LOG.record(
+                    event="batch", n=len(chunk),
+                    dispatch_ms=round((time.perf_counter() - t_inf) * 1e3, 3),
+                )
             pending.append((masks, u8s, list(zip(chunk, dirs))))
             # double buffering: drain the previous batch while this one runs
             if len(pending) > 1:
