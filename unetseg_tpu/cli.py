@@ -35,13 +35,14 @@ def print_usage() -> None:
     print("  --window N                    - Native-resolution sliding-window inference")
     print("  --per-class                   - Also emit {base}_classes.json (per-class shapes)")
     print("  --fast-emit                   - Batched C++ artifact emission (with --batched)")
+    print("  --tier full|mask_json|json    - Artifact set for --batched (default full)")
     print("  --cascade <ckpt> [threshold]  - Route low-confidence slices to a stronger model (init)")
     print("  <input>                       - Path to image file or directory")
 
 
 def _process_directory(input_path: str, width: int, height: int,
                        output_dir: str, recursive: bool, batched: bool,
-                       fast_emit: bool = False) -> None:
+                       fast_emit: bool = False, tier: str = "full") -> None:
     print(f"Processing directory: {input_path}")
     print(f"Recursive: {'Yes' if recursive else 'No'}")
 
@@ -63,7 +64,7 @@ def _process_directory(input_path: str, width: int, height: int,
     if batched:
         ok, fail = engine.process_batch(
             files, width, height, out_dirs,
-            emitter="native" if fast_emit else "cv2")
+            emitter="native" if fast_emit else "cv2", tier=tier)
     else:
         ok = fail = 0
         for f, d in zip(files, out_dirs):
@@ -129,8 +130,9 @@ def repl(stdin=None) -> int:
             args = parts[1:]
             recursive = batched = tta = per_class = fast_emit = False
             window = None
+            tier = "full"
             while args and args[0] in ("-r", "--batched", "--tta", "--window",
-                                       "--per-class", "--fast-emit"):
+                                       "--per-class", "--fast-emit", "--tier"):
                 flag = args.pop(0)
                 if flag == "-r":
                     recursive = True
@@ -146,6 +148,14 @@ def repl(stdin=None) -> int:
                     per_class = True
                 elif flag == "--fast-emit":
                     fast_emit = True
+                elif flag == "--tier":
+                    if not args:
+                        break
+                    tier = args.pop(0)
+            if tier not in engine.ARTIFACT_TIERS:
+                print(f"Error: --tier must be one of "
+                      f"{'|'.join(engine.ARTIFACT_TIERS)}", file=sys.stderr)
+                continue
             if len(args) < 3:
                 print("Error: Invalid process command", file=sys.stderr)
                 continue
@@ -162,7 +172,7 @@ def repl(stdin=None) -> int:
                 if os.path.isdir(input_path):
                     _process_directory(
                         input_path, width, height, output_dir, recursive,
-                        batched, fast_emit
+                        batched, fast_emit, tier
                     )
                 elif os.path.isfile(input_path):
                     print(f"Processing file: {input_path}")

@@ -520,7 +520,7 @@ def cleanup_resources() -> None:
 
 def _polygonize(mask_vis: np.ndarray, output_dir: str, base_name: str,
                 original_w: int, original_h: int,
-                normalized_png_path: str) -> None:
+                normalized_png_path: str, overlay: bool = True) -> None:
     """Contours -> overlay PNG + scaled labelme JSON.
 
     Parity with Mask2Polygon::process_single_mask (src/mask2polygon.cpp:134):
@@ -528,7 +528,9 @@ def _polygonize(mask_vis: np.ndarray, output_dir: str, base_name: str,
     both overlay and JSON; overlay drawn with *unscaled* coords on the
     normalized PNG; JSON points scaled by (orig/scaled) with truncation.
     Like the reference (src/mask2polygon.cpp:219-221), failures here are
-    caught and reported without failing the image.
+    caught and reported without failing the image.  ``overlay=False``
+    (reduced artifact tiers) skips the overlay PNG and its normalized-PNG
+    read; the contour JSON is always emitted.
     """
     try:
         print(f"Processing Mask: {base_name}.png")
@@ -542,11 +544,13 @@ def _polygonize(mask_vis: np.ndarray, output_dir: str, base_name: str,
             return
         print(f"Extracted {len(contours)} Contours")
 
-        overlay_path = os.path.join(output_dir, base_name + "_contour_overlay.png")
-        overlay = png.read_png_bgr(normalized_png_path)
-        png.draw_contours_overlay(overlay, contours)
-        png.write_png(overlay_path, overlay, compression=None)
-        print(f"Overlay Image Saved to: {overlay_path}")
+        if overlay:
+            overlay_path = os.path.join(
+                output_dir, base_name + "_contour_overlay.png")
+            overlay_img = png.read_png_bgr(normalized_png_path)
+            png.draw_contours_overlay(overlay_img, contours)
+            png.write_png(overlay_path, overlay_img, compression=None)
+            print(f"Overlay Image Saved to: {overlay_path}")
 
         scale_x = original_w / scaled_w
         scale_y = original_h / scaled_h
@@ -674,10 +678,18 @@ def process_single_image(raw_path: str, width: int, height: int,
 # Batched throughput path (the TPU lever the reference lacks; SURVEY §2 DP)
 # --------------------------------------------------------------------------
 
+#: Artifact tiers for batched processing: which of the reference's five
+#: per-image artifacts a deployment keeps (measured host cost per slice on
+#: one core — full 5.3 ms, mask_json 1.4 ms, json 0.72 ms via the native
+#: emitter; benchmarks/RESULTS_r4.md §2).  The contour JSON — the pipeline's
+#: actual product — is in every tier.
+ARTIFACT_TIERS = ("full", "mask_json", "json")
+
+
 def process_batch(raw_paths: List[str], width: int, height: int,
                   output_dirs: List[str], batch_size: int = 128,
                   eng: Optional[InferenceEngine] = None,
-                  emitter: str = "cv2") -> Tuple[int, int]:
+                  emitter: str = "cv2", tier: str = "full") -> Tuple[int, int]:
     """Batched pipeline over same-sized RAW slices.
 
     Host loads + device-fused preprocess + batched UNet + postprocess, with
@@ -693,11 +705,20 @@ def process_batch(raw_paths: List[str], width: int, height: int,
     JSON bytes identical to the cv2 path; overlay PNG is pixel-identical
     but stored-deflate-encoded rather than cv2's default stream.  The
     default stays "cv2" for byte-level overlay parity with the reference.
+
+    ``tier`` selects the artifact set (ARTIFACT_TIERS): "full" = all five
+    reference artifacts; "mask_json" drops the normalized/overlay PNGs;
+    "json" keeps only the two JSONs.  Both emitters honor it.
     """
     eng = eng or get_engine()
     if eng is None:
         raise RuntimeError("Engine not initialized")
+    if tier not in ARTIFACT_TIERS:
+        raise ValueError(f"tier must be one of {ARTIFACT_TIERS}, got {tier!r}")
     use_native = emitter == "native" and native.emit_slice_available()
+    native_tier = {"full": native.TIER_FULL,
+                   "mask_json": native.TIER_MASK_JSON,
+                   "json": native.TIER_JSON}[tier]
 
     n_ok = 0
     n_fail = 0
@@ -717,7 +738,7 @@ def process_batch(raw_paths: List[str], width: int, height: int,
                 np.asarray(u8s[: len(metas)]),
                 np.asarray(masks[: len(metas)]), dirs, bases,
                 [os.path.basename(p) for p, _ in metas], width, height,
-                native.TIER_FULL)
+                native_tier)
             n_ok += int(np.sum(counts >= 0))
             n_fail += int(np.sum(counts < 0))
             return
@@ -726,14 +747,17 @@ def process_batch(raw_paths: List[str], width: int, height: int,
                 base = os.path.splitext(os.path.basename(path))[0]
                 os.makedirs(out_dir, exist_ok=True)
                 normalized_png = os.path.join(out_dir, base + "_normalized.png")
-                png.write_png(normalized_png, u8s[k], compression=0)
+                if tier == "full":
+                    png.write_png(normalized_png, u8s[k], compression=0)
                 with open(os.path.join(out_dir, base + "_original_sizes.json"), "wb") as f:
                     f.write(native.size_json_bytes(
                         os.path.basename(path), width, height, eng.size, eng.size))
                 vis = np.asarray(decode.mask_to_image(masks[k]))
-                png.write_png(os.path.join(out_dir, base + "_mask.png"), vis,
-                              compression=0)
-                _polygonize(vis, out_dir, base, width, height, normalized_png)
+                if tier in ("full", "mask_json"):
+                    png.write_png(os.path.join(out_dir, base + "_mask.png"),
+                                  vis, compression=0)
+                _polygonize(vis, out_dir, base, width, height, normalized_png,
+                            overlay=tier == "full")
                 n_ok += 1
             except Exception as e:
                 print(f"Processing error: {e}")

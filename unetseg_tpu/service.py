@@ -9,7 +9,8 @@ connections (the reference's global g_runtime/g_engine analog):
   {"cmd": "init", "cache": "/path/model.ckpt"}
   {"cmd": "process", "path": "...", "width": W, "height": H,
    "output_dir": "...", "recursive": false, "tta": false, "window": null,
-   "per_class": false, "timeout_s": null}
+   "per_class": false, "timeout_s": null,
+   "emitter": "cv2"|"native", "tier": "full"|"mask_json"|"json"}
   {"cmd": "status"}
   {"cmd": "metrics", "n": 20}
   {"cmd": "shutdown"}
@@ -296,6 +297,11 @@ class SegmentationService:
         tta = bool(req.get("tta", False))
         window = req.get("window")
         per_class = bool(req.get("per_class", False))
+        emitter = req.get("emitter", "cv2")
+        tier = req.get("tier", "full")
+        if tier not in engine.ARTIFACT_TIERS:
+            return {"ok": False,
+                    "error": f"tier must be one of {engine.ARTIFACT_TIERS}"}
 
         partitioned = self._partitions > 1
         gen = None
@@ -321,7 +327,8 @@ class SegmentationService:
                         for f in files
                     ]
                     n_ok, n_fail = engine.process_batch(
-                        files, width, height, out_dirs, eng=eng)
+                        files, width, height, out_dirs, eng=eng,
+                        emitter=emitter, tier=tier)
                     with self._count_lock:
                         self._n_processed += n_ok
                     return {"ok": n_fail == 0, "processed": n_ok,
