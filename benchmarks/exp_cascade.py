@@ -54,6 +54,7 @@ def main():
 
     fallbacks = {}
     for name, fname in (("teacher", "flagship_synth.ckpt"),
+                        ("robust-d2", "flagship_slim4_robust.ckpt"),
                         ("d3-gen1", "flagship_slim.ckpt")):
         p = os.path.join(mdir, fname)
         if os.path.exists(p):

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Disagreement routing: can a second cheap model catch confidently-wrong
+slices that margin routing misses? (ROADMAP r5 #3)
+
+exp_cascade.py measured the honest limitation of confidence routing: the
+serving student's crescent worst case is CONFIDENTLY wrong (spearman
+margin-vs-IoU = −0.38 on crescents), so it never routes.  Hypothesis under
+test here: the specialist and the wide-family robust student (same 3.7 MB
+geometry, different training mixture) err DIFFERENTLY, so their pixel
+disagreement flags slices where at least one of them is wrong — including
+confidently-wrong ones.  Router cost: one extra student pass (~2× student
+compute, still ~3600 slices/s equivalent), no teacher in the common path.
+
+Counter-hypothesis (also answerable by this data): both students inherit
+the same teacher's soft labels, so their errors are correlated exactly
+where capacity binds, and disagreement stays low where both fail.
+
+Protocol mirrors exp_cascade.py: 4 families x n slices; per slice record
+(disagreement px count, specialist IoU, teacher IoU); report spearman and
+the routing curve (route top-disagreement X% to the teacher).
+
+Usage: python benchmarks/exp_disagree.py [n_per_family]
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from unetseg_tpu import checkpoint, data, metrics
+    from unetseg_tpu.io import native
+    from unetseg_tpu.models import registry
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    mdir = os.path.join(REPO, "models")
+
+    s_params, s_cfg = checkpoint.load(os.path.join(mdir, "flagship_slim4.ckpt"))
+    r_params, r_cfg = checkpoint.load(
+        os.path.join(mdir, "flagship_slim4_robust.ckpt"))
+    t_params, t_cfg = checkpoint.load(os.path.join(mdir, "flagship_synth.ckpt"))
+    s_params, r_params, t_params = map(jax.device_put,
+                                       (s_params, r_params, t_params))
+
+    def fwd(cfg):
+        def f(p, u8):
+            x = u8.astype(jnp.float32)[..., None] / 255.0
+            return jnp.argmax(registry.apply(p, x, cfg),
+                              axis=-1).astype(jnp.uint8)
+        return jax.jit(f)
+
+    s_fwd, r_fwd, t_fwd = fwd(s_cfg), fwd(r_cfg), fwd(t_cfg)
+
+    @jax.jit
+    def disagree(ms, mr):
+        return jnp.sum((ms != mr).reshape(ms.shape[0], -1), axis=1)
+
+    rows = []  # (family, disagreement, iou_specialist, iou_teacher)
+    for fam in ("standard", "crescent", "lobulated", "illum"):
+        rng = np.random.default_rng(hash(fam) % 2**31 + 13)  # = exp_cascade
+        u8 = np.empty((n, 512, 512), np.uint8)
+        labs = np.empty((n, 512, 512), np.uint8)
+        for i in range(n):
+            if fam == "standard":
+                raw, lab = data.synth_slice(rng, 512, r_range=(0.06, 0.3))
+            else:
+                raw, lab = data.synth_slice_shifted(rng, 512, fam)
+            u8[i] = native.preprocess_u8(raw, 512)
+            labs[i] = lab
+        for i in range(0, n, 8):
+            b = jnp.asarray(u8[i:i + 8])
+            ms, mr, mt = (np.asarray(s_fwd(s_params, b)),
+                          np.asarray(r_fwd(r_params, b)),
+                          np.asarray(t_fwd(t_params, b)))
+            d = np.asarray(disagree(jnp.asarray(ms), jnp.asarray(mr)))
+            for j in range(ms.shape[0]):
+                rows.append((fam, int(d[j]),
+                             float(metrics.foreground_iou(ms[j], labs[i + j])),
+                             float(metrics.foreground_iou(mt[j], labs[i + j]))))
+
+    def spearman(a, b):
+        ra = np.argsort(np.argsort(a)).astype(np.float64)
+        rb = np.argsort(np.argsort(b)).astype(np.float64)
+        ra -= ra.mean(); rb -= rb.mean()
+        return float((ra * rb).sum() / np.sqrt((ra**2).sum() * (rb**2).sum()))
+
+    print("\nper-family: disagreement(specialist, robust) vs specialist IoU")
+    for fam in ("standard", "crescent", "lobulated", "illum"):
+        sel = [r for r in rows if r[0] == fam]
+        ds = np.array([r[1] for r in sel], np.float64)
+        ious = np.array([r[2] for r in sel])
+        print(f"  {fam:10s} iou min {ious.min():.5f} | disagree px "
+              f"mean {ds.mean():7.1f} max {ds.max():7.0f} "
+              f"| spearman(d, iou) {spearman(ds, ious):+.3f}")
+
+    alld = np.array([r[1] for r in rows], np.float64)
+    alls = np.array([r[2] for r in rows])
+    allt = np.array([r[3] for r in rows])
+    print(f"\npooled spearman(disagreement, iou) = {spearman(alld, alls):+.3f}"
+          f" (n={len(rows)}; negative = high disagreement marks bad slices)")
+
+    order = np.argsort(-alld)  # most-disagreeing first
+    print("\nrouting most-disagreeing X% to teacher:")
+    for frac in (0.0, 0.05, 0.10, 0.20, 0.30):
+        k = int(len(rows) * frac)
+        routed = alls.copy()
+        routed[order[:k]] = allt[order[:k]]
+        print(f"  route {int(frac*100):3d}% -> pooled min {routed.min():.5f} "
+              f"mean {routed.mean():.5f}")
+    # where does the specialist's worst slice rank by disagreement?
+    worst = int(np.argmin(alls))
+    rank = int(np.nonzero(order == worst)[0][0])
+    print(f"\nspecialist worst slice (iou {alls[worst]:.5f}, "
+          f"{rows[worst][0]}): disagreement rank {rank + 1}/{len(rows)}")
+
+
+if __name__ == "__main__":
+    main()
