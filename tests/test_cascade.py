@@ -161,3 +161,112 @@ def test_cli_init_cascade_flag(tmp_path, capsys):
     assert cli.repl(stdin) == 0
     out = capsys.readouterr().out
     assert "Engine initialized successfully" in out
+
+
+# -- disagreement router -----------------------------------------------------
+
+@pytest.fixture()
+def disagree_engine(tmp_path):
+    cache = tmp_path / "e" / "student.ckpt"
+    cache.parent.mkdir()
+    checkpoint.create(str(cache), SMALL, seed=0)
+    co = tmp_path / "e" / "co.ckpt"
+    checkpoint.create(str(co), SMALL, seed=7)  # same geometry, other weights
+    fb = tmp_path / "e" / "fallback.ckpt"
+    checkpoint.create(str(fb), BIG, seed=1)
+    assert engine.initialize_engine(
+        str(cache), cascade_ckpt=str(fb), cascade_router="disagree",
+        cascade_co_ckpt=str(co), cascade_threshold=0.0)
+    yield engine.get_engine(), str(fb), str(co)
+    engine.cleanup_resources()
+
+
+def test_disagree_self_co_routes_nothing(tmp_path):
+    """co == student -> zero disagreement everywhere -> no routing."""
+    cache = tmp_path / "m.ckpt"
+    checkpoint.create(str(cache), SMALL, seed=0)
+    fb = tmp_path / "fb.ckpt"
+    checkpoint.create(str(fb), BIG, seed=1)
+    assert engine.initialize_engine(
+        str(cache), cascade_ckpt=str(fb), cascade_router="disagree",
+        cascade_co_ckpt=str(cache), cascade_threshold=0.0)
+    try:
+        eng = engine.get_engine()
+        u8 = _batch()
+        masks, conf, n_routed = eng.infer_cascade(u8)
+        assert n_routed == 0
+        np.testing.assert_array_equal(conf, np.zeros(5, np.float32))
+        np.testing.assert_array_equal(masks, np.asarray(eng.infer(u8.copy())))
+    finally:
+        engine.cleanup_resources()
+
+
+def test_disagree_threshold_neg_routes_all(disagree_engine):
+    eng, fb_path, _ = disagree_engine
+    eng.cascade_threshold = -1.0  # disagreement >= 0 > -1 -> all route
+    u8 = _batch()
+    masks, conf, n_routed = eng.infer_cascade(u8)
+    assert n_routed == 5
+    fb_params, fb_cfg = checkpoint.load(fb_path)
+    fb_eng = engine.InferenceEngine(fb_params, fb_cfg)
+    np.testing.assert_array_equal(masks, np.asarray(fb_eng.infer(u8.copy())))
+
+
+def test_disagree_partial_routing(disagree_engine):
+    eng, fb_path, co_path = disagree_engine
+    u8 = _batch(n=7)
+    _, conf, _ = eng.infer_cascade(u8)
+    # disagreement statistic == host-computed mask mismatch counts
+    co_params, co_cfg = checkpoint.load(co_path)
+    co_eng = engine.InferenceEngine(co_params, co_cfg)
+    ms = np.asarray(eng.infer(u8.copy()))
+    mc = np.asarray(co_eng.infer(u8.copy()))
+    expect_d = (ms != mc).reshape(7, -1).sum(axis=1)
+    np.testing.assert_array_equal(conf.astype(np.int64), expect_d)
+    # route above the median disagreement; splice correctness
+    eng.cascade_threshold = float(np.median(conf))
+    masks, _, n_routed = eng.infer_cascade(u8.copy())
+    routed = np.nonzero(conf > eng.cascade_threshold)[0]
+    assert n_routed == routed.size and 0 < n_routed < 7
+    fb_params, fb_cfg = checkpoint.load(fb_path)
+    fb_eng = engine.InferenceEngine(fb_params, fb_cfg)
+    fbm = np.asarray(fb_eng.infer(u8.copy()))
+    for i in range(7):
+        expect = fbm[i] if i in routed else ms[i]
+        np.testing.assert_array_equal(masks[i], expect)
+
+
+def test_disagree_requires_co():
+    with pytest.raises(ValueError, match="co_params"):
+        engine.InferenceEngine(
+            *_tiny_params()).attach_cascade(
+                *_tiny_params(), router="disagree")
+
+
+def _tiny_params():
+    import jax
+
+    from unetseg_tpu.models import unet
+
+    return (jax.jit(unet.init, static_argnums=(1,))(jax.random.key(0), SMALL),
+            SMALL)
+
+
+def test_cli_init_cascade_disagree(tmp_path, capsys):
+    import io
+
+    from unetseg_tpu import cli
+
+    cache = tmp_path / "m.ckpt"
+    checkpoint.create(str(cache), SMALL, seed=0)
+    co = tmp_path / "co.ckpt"
+    checkpoint.create(str(co), SMALL, seed=7)
+    fb = tmp_path / "fb.ckpt"
+    checkpoint.create(str(fb), BIG, seed=1)
+    stdin = io.StringIO(
+        f"init {cache} --cascade-disagree {co} {fb} 10\nexit\n")
+    assert cli.repl(stdin) == 0
+    out = capsys.readouterr().out
+    assert "Engine initialized successfully" in out
+    eng_was = engine.get_engine()
+    assert eng_was is None  # exit cleaned up

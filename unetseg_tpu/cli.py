@@ -36,7 +36,8 @@ def print_usage() -> None:
     print("  --per-class                   - Also emit {base}_classes.json (per-class shapes)")
     print("  --fast-emit                   - Batched C++ artifact emission (with --batched)")
     print("  --tier full|mask_json|json    - Artifact set for --batched (default full)")
-    print("  --cascade <ckpt> [threshold]  - Route low-confidence slices to a stronger model (init)")
+    print("  --cascade <ckpt> [threshold]  - Route low-margin slices to a stronger model (init)")
+    print("  --cascade-disagree <co> <fb> [max_px] - Route on co-model pixel disagreement (init)")
     print("  <input>                       - Path to image file or directory")
 
 
@@ -101,6 +102,7 @@ def repl(stdin=None) -> int:
                 continue
             cache_path = parts[1]
             cascade_ckpt, cascade_thr = None, 1.5
+            cascade_router, cascade_co = "margin", None
             rest = parts[2:]
             if rest and rest[0] == "--cascade":
                 if len(rest) < 2:
@@ -115,9 +117,27 @@ def repl(stdin=None) -> int:
                         print("Error: invalid cascade threshold",
                               file=sys.stderr)
                         continue
+            elif rest and rest[0] == "--cascade-disagree":
+                if len(rest) < 3:
+                    print("Error: --cascade-disagree requires <co_ckpt> "
+                          "<fallback_ckpt>", file=sys.stderr)
+                    continue
+                cascade_router = "disagree"
+                cascade_co, cascade_ckpt = rest[1], rest[2]
+                cascade_thr = 64.0  # px; ~10%-routing point measured in
+                #                     benchmarks/exp_disagree.py
+                if len(rest) > 3:
+                    try:
+                        cascade_thr = float(rest[3])
+                    except ValueError:
+                        print("Error: invalid disagreement threshold",
+                              file=sys.stderr)
+                        continue
             if engine.initialize_engine(cache_path,
                                         cascade_ckpt=cascade_ckpt,
-                                        cascade_threshold=cascade_thr):
+                                        cascade_threshold=cascade_thr,
+                                        cascade_router=cascade_router,
+                                        cascade_co_ckpt=cascade_co):
                 print("Engine initialized successfully")
                 initialized = True
             else:

@@ -205,22 +205,56 @@ class InferenceEngine:
 
     # -- confidence-cascade serving ----------------------------------------
     def attach_cascade(self, params, cfg: ModelConfig,
-                       threshold: float = 1.5) -> None:
-        """Register a stronger fallback model for low-confidence slices.
+                       threshold: float = 1.5, router: str = "margin",
+                       co_params=None, co_cfg: Optional[ModelConfig] = None,
+                       ) -> None:
+        """Register a stronger fallback model for suspect slices.
 
         The compact serving student's residual tail is boundary-precision on
-        hard shapes (concave rims — benchmarks/RESULTS_r4.md §7); its own
-        boundary-band decision margin identifies those slices
-        (ops/confidence.py, validated in benchmarks/exp_cascade.py).
-        ``infer_cascade`` re-runs slices whose margin falls below
-        ``threshold`` through the fallback (typically the flagship teacher
-        or the d3 student).  The reference has no analog — its tail lives
-        inside the opaque .trt artifact — but this is the standard
-        production mitigation for a distilled model's worst case.
+        hard shapes (concave rims — benchmarks/RESULTS_r4.md §7).
+        ``infer_cascade`` re-runs routed slices through the fallback
+        (typically the flagship teacher).  Two routers, both validated on
+        the chip (benchmarks/exp_cascade.py / exp_disagree.py):
+
+        * ``router="margin"`` — the student's own top1−top2 logit margin
+          over the predicted boundary band (ops/confidence.py); routes
+          slices whose margin < ``threshold``.  Catches uncertainty-type
+          tails (illumination ρ=+0.77) but provably NOT confidently-wrong
+          ones (crescent ρ=−0.38).
+        * ``router="disagree"`` — pixel disagreement against a co-model
+          (``co_params``/``co_cfg``, e.g. the wide-family robust student:
+          same 3.7 MB geometry, different training mixture); routes slices
+          with more than ``threshold`` disagreeing pixels.  Costs one extra
+          student pass but catches confidently-wrong slices (pooled
+          ρ=−0.76; the worst slice ranks 5/96 by disagreement).
+
+        The reference has no analog — its tail lives inside the opaque
+        .trt artifact — but cascade routing is the standard production
+        mitigation for a distilled model's worst case.
         """
-        self._cascade_params = jax.device_put(params, self._device)
+        if router not in ("margin", "disagree"):
+            raise ValueError(f"router must be 'margin' or 'disagree', "
+                             f"got {router!r}")
+        if router == "disagree" and co_params is None:
+            raise ValueError("router='disagree' needs co_params/co_cfg")
+
+        def _place(tree):
+            # match the engine's own param placement (mesh-replicated on
+            # multi-device engines) so the fused router program sees
+            # consistently-placed operands
+            if self.mesh is not None:
+                from unetseg_tpu.parallel import mesh as pmesh
+
+                return jax.device_put(tree, pmesh.replicated(self.mesh))
+            return jax.device_put(tree, self._device)
+
+        self._cascade_params = _place(params)
         self._cascade_cfg = cfg
         self.cascade_threshold = float(threshold)
+        self.cascade_router = router
+        if co_params is not None:
+            self._cascade_co_params = _place(co_params)
+            self._cascade_co_cfg = co_cfg
 
     def _pipeline_conf(self, params, u8_batch):
         """_pipeline + per-slice boundary-margin confidence (one program)."""
@@ -236,6 +270,28 @@ class InferenceEngine:
             on_tpu = jax.devices()[0].platform == "tpu"
             mask = device_post.postprocess_masks(mask, use_pallas_cc=on_tpu)
         return mask, conf
+
+    def _pipeline_disagree(self, params, co_params, u8_batch):
+        """_pipeline + per-slice pixel disagreement vs the co-model.
+
+        Both students run in ONE XLA program; the router statistic is the
+        count of pixels where their argmax masks differ.  The co-model's
+        mask is only a signal — the emitted mask is the primary student's.
+        """
+        x = preprocess.model_input_from_u8(u8_batch)[..., None]
+        mask = decode.decode_mask(
+            model_registry.apply(params, x, self.cfg), self.cfg.num_classes)
+        co_mask = decode.decode_mask(
+            model_registry.apply(co_params, x, self._cascade_co_cfg),
+            self._cascade_co_cfg.num_classes)
+        d = jnp.sum((mask != co_mask).reshape(mask.shape[0], -1),
+                    axis=1).astype(jnp.float32)
+        if self.device_postprocess:
+            from unetseg_tpu.ops import postprocess as device_post
+
+            on_tpu = jax.devices()[0].platform == "tpu"
+            mask = device_post.postprocess_masks(mask, use_pallas_cc=on_tpu)
+        return mask, d
 
     def _cascade_fallback(self, bucket: int):
         """AOT fallback-model executable for a padded subset batch."""
@@ -272,17 +328,28 @@ class InferenceEngine:
         if getattr(self, "_cascade_params", None) is None:
             raise RuntimeError("attach_cascade first")
         n = u8_batch.shape[0]
-        key = ("conf", n)
-        if key not in self._compiled:
-            shape = jax.ShapeDtypeStruct((n, self.size, self.size), jnp.uint8)
-            self._compiled[key] = jax.jit(self._pipeline_conf).lower(
-                self.params, shape).compile()
         u8 = np.asarray(u8_batch)
-        mask_d, conf_d = self._compiled[key](self.params, self._put(u8))
+        shape = jax.ShapeDtypeStruct((n, self.size, self.size), jnp.uint8)
+        if self.cascade_router == "disagree":
+            key = ("disagree", n)
+            if key not in self._compiled:
+                self._compiled[key] = jax.jit(self._pipeline_disagree).lower(
+                    self.params, self._cascade_co_params, shape).compile()
+            mask_d, conf_d = self._compiled[key](
+                self.params, self._cascade_co_params, self._put(u8))
+        else:
+            key = ("conf", n)
+            if key not in self._compiled:
+                self._compiled[key] = jax.jit(self._pipeline_conf).lower(
+                    self.params, shape).compile()
+            mask_d, conf_d = self._compiled[key](self.params, self._put(u8))
         # np.array (owned copy): the routed rows are spliced in place below,
         # and np.asarray of a jax.Array is a read-only view.
         masks, conf = np.array(mask_d), np.asarray(conf_d)
-        routed = np.nonzero(conf < self.cascade_threshold)[0]
+        if self.cascade_router == "disagree":
+            routed = np.nonzero(conf > self.cascade_threshold)[0]
+        else:
+            routed = np.nonzero(conf < self.cascade_threshold)[0]
         if routed.size:
             bucket = 1 << (int(routed.size) - 1).bit_length()
             bucket = min(bucket, n)
@@ -394,14 +461,19 @@ def get_engine() -> Optional[InferenceEngine]:
 def initialize_engine(cache_path: str, log_dir: Optional[str] = None,
                       device_postprocess: bool = False,
                       cascade_ckpt: Optional[str] = None,
-                      cascade_threshold: float = 1.5) -> bool:
+                      cascade_threshold: float = 1.5,
+                      cascade_router: str = "margin",
+                      cascade_co_ckpt: Optional[str] = None) -> bool:
     """Load checkpoint, open log, set up compile cache, AOT-compile batch-1.
 
     ``device_postprocess=True`` fuses the mask cleanup into the device
     executable (all-device serving for host-poor deployments).
     ``cascade_ckpt`` attaches a stronger fallback model; batched processing
-    then re-runs slices whose boundary-margin confidence falls below
-    ``cascade_threshold`` through it (see InferenceEngine.attach_cascade)."""
+    then re-runs routed slices through it.  ``cascade_router="margin"``
+    routes on the student's boundary-band margin (< ``cascade_threshold``);
+    ``"disagree"`` routes on pixel disagreement (> ``cascade_threshold``
+    pixels) against the co-model ``cascade_co_ckpt`` (see
+    InferenceEngine.attach_cascade for the measured tradeoffs)."""
     global _engine
     try:
         if log_dir is None:
@@ -438,10 +510,20 @@ def initialize_engine(cache_path: str, log_dir: Optional[str] = None,
                     f"Error: cascade checkpoint not found - {cascade_ckpt}")
                 return False
             fb_params, fb_cfg = checkpoint.load(cascade_ckpt)
-            _engine.attach_cascade(fb_params, fb_cfg, cascade_threshold)
+            co_params = co_cfg = None
+            if cascade_router == "disagree":
+                if not (cascade_co_ckpt and os.path.exists(cascade_co_ckpt)):
+                    GLOBAL_LOG.write(
+                        "Error: disagree router needs cascade_co_ckpt "
+                        f"- {cascade_co_ckpt}")
+                    return False
+                co_params, co_cfg = checkpoint.load(cascade_co_ckpt)
+            _engine.attach_cascade(fb_params, fb_cfg, cascade_threshold,
+                                   router=cascade_router,
+                                   co_params=co_params, co_cfg=co_cfg)
             GLOBAL_LOG.write(
                 f"Cascade fallback attached: {cascade_ckpt} "
-                f"(threshold {cascade_threshold})")
+                f"(router {cascade_router}, threshold {cascade_threshold})")
         t0 = time.perf_counter()
         _engine.compile(1)
         compile_ms = int((time.perf_counter() - t0) * 1000)
