@@ -27,10 +27,20 @@ def margin_map(logits: jax.Array) -> jax.Array:
     """Top1-minus-top2 logit margin per pixel; (..., H, W, C) -> (..., H, W).
 
     The margin of the argmax decision (ops/decode.py semantics): how far the
-    winning class logit sits above the runner-up.  Computed with one sort-2
-    (lax.top_k over the trailing axis); C is 3 for the reference contract so
-    this is a handful of VPU compares, fused by XLA into the consumer.
+    winning class logit sits above the runner-up.  For the reference's 3-class
+    contract this is computed with explicit pairwise max/min compares — pure
+    VPU ops XLA fuses into the producer.  ``lax.top_k`` here measured a
+    catastrophic +127% on the whole serving program at batch 128 (it lowers
+    to a sort; benchmarks/exp_cascade_cost.py), MORE than running an entire
+    second UNet; the compare form is the fix.  C != 3 falls back to top_k.
     """
+    if logits.shape[-1] == 3:
+        l0, l1, l2 = (logits[..., 0], logits[..., 1], logits[..., 2])
+        hi = jnp.maximum(l0, l1)
+        lo = jnp.minimum(l0, l1)
+        top = jnp.maximum(hi, l2)
+        second = jnp.maximum(lo, jnp.minimum(hi, l2))
+        return (top - second).astype(jnp.float32)
     top2 = lax.top_k(logits, 2)[0]
     return (top2[..., 0] - top2[..., 1]).astype(jnp.float32)
 
