@@ -270,3 +270,29 @@ def test_cli_init_cascade_disagree(tmp_path, capsys):
     assert "Engine initialized successfully" in out
     eng_was = engine.get_engine()
     assert eng_was is None  # exit cleaned up
+
+
+def test_process_single_image_uses_cascade(cascade_engine, tmp_path):
+    from unetseg_tpu.io import raw as raw_io
+
+    eng, fb_path = cascade_engine
+    eng.cascade_threshold = np.inf  # force routing
+    rng = np.random.default_rng(0)
+    p = tmp_path / "one.raw"
+    raw_io.write_raw(str(p), rng.integers(0, 65536, (64, 64), np.uint16))
+    assert engine.process_single_image(str(p), 64, 64, str(tmp_path / "o"))
+    import cv2
+
+    vis = cv2.imread(str(tmp_path / "o" / "one_mask.png"),
+                     cv2.IMREAD_GRAYSCALE)
+    # mask must be the FALLBACK model's, fed through the usual cleanup+LUT
+    fb_params, fb_cfg = checkpoint.load(fb_path)
+    fb_eng = engine.InferenceEngine(fb_params, fb_cfg)
+    from unetseg_tpu.io import native
+    from unetseg_tpu.ops import decode
+
+    u8 = native.preprocess_u8(
+        np.asarray(raw_io.read_raw(str(p), 64, 64)), 64)
+    expect = np.asarray(decode.mask_to_image(
+        native.postprocess_batch(np.asarray(fb_eng.infer(u8[None])))[0]))
+    np.testing.assert_array_equal(vis, expect)

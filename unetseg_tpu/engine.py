@@ -723,6 +723,11 @@ def process_single_image(raw_path: str, width: int, height: int,
             mask = np.asarray(eng.infer_tiled(u8, window, overlap))
         elif tta:
             mask = np.asarray(eng.infer_tta(u8))
+        elif getattr(eng, "_cascade_params", None) is not None:
+            mask, _conf, n_routed = eng.infer_cascade(u8[None])
+            mask = mask[0]
+            if n_routed:
+                GLOBAL_LOG.write("Cascade: routed to fallback model")
         else:
             mask = np.asarray(eng.infer(u8[None]))[0]
         inference_ms = int((time.perf_counter() - t_inf) * 1000)
