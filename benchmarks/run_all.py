@@ -147,7 +147,7 @@ def main() -> int:
     s0, _ = synth_slice(rng, 512)
     big[:512, :512] = s0
     big[512:, 512:] = synth_slice(rng, 512)[0]
-    fn = tiles.make_tiled_pipeline(cfg, window=512, overlap=128,
+    fn = tiles.make_tiled_pipeline(cfg, window=512, overlap=256,
                                   device_postprocess=False)
     u8big = jnp.asarray((big >> 8).astype(np.uint8))
     out = fn(params, u8big)
@@ -164,7 +164,7 @@ def main() -> int:
     # single model batch, vmapped blend) — the dispatch/underfill fix
     big8 = np.stack([big] * 8)
     big8[1:, :512, 512:] = synth_slice(rng, 512)[0]
-    fnb = tiles.make_tiled_batch_pipeline(cfg, window=512, overlap=128,
+    fnb = tiles.make_tiled_batch_pipeline(cfg, window=512, overlap=256,
                                           device_postprocess=False)
     u8big8 = jnp.asarray((big8 >> 8).astype(np.uint8))
     out = fnb(params, u8big8)

@@ -306,3 +306,47 @@ def test_weightspace_tta_matches_activation_tta(cfg):
     want = np.stack([np.asarray(fn1(params, jnp.asarray(u8[i])))
                      for i in range(2)])
     np.testing.assert_array_equal(got, want)
+
+
+def test_blend_overlap_add_matches_padded_stack():
+    """The regular-grid overlap-add fast path must equal the general
+    pad-and-stack blend (same Hann weights, same normalizer)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    h = w = 128
+    window, stride = 64, 32  # regular: stride | window, uniform grid
+    ys = tiles.window_grid(h, window, stride)
+    xs = tiles.window_grid(w, window, stride)
+    assert tiles._regular_grid(ys, stride, window)
+    n = len(ys) * len(xs)
+    lt = jnp.asarray(rng.standard_normal((n, window, window, 3)),
+                     jnp.float32)
+    fast = tiles.blend_windows(lt, h, w, window, stride)
+    # force the fallback by calling the padded-stack arithmetic directly
+    weight = jnp.asarray(tiles._hann_weight(window))[..., None]
+    padded = [
+        jax.lax.pad(lt[k] * weight, jnp.float32(0),
+                    ((y, h - window - y, 0), (x, w - window - x, 0),
+                     (0, 0, 0)))
+        for k, (y, x) in enumerate((y, x) for y in ys for x in xs)
+    ]
+    slow = (jnp.sum(jnp.stack(padded), axis=0)
+            * jnp.asarray(tiles._inv_weight_sum(h, w, window, stride)))
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_blend_irregular_grid_falls_back(params):
+    """Edge-clamped (irregular) grids still blend correctly end-to-end."""
+    import numpy as np
+
+    # 96² with window 64, stride 48 -> starts [0, 32] (clamped): irregular
+    ys = tiles.window_grid(96, 64, 48)
+    assert not tiles._regular_grid(ys, 48, 64)
+    fn = tiles.make_tiled_pipeline(SMALL, window=64, overlap=16,
+                                   device_postprocess=False)
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 256, (96, 96)).astype(np.uint8)
+    m = np.asarray(fn(params, jnp.asarray(u8)))
+    assert m.shape == (96, 96) and set(np.unique(m)) <= {0, 1, 2}

@@ -671,15 +671,18 @@ def _emit_per_class_json(decoded_mask: np.ndarray, output_dir: str,
 def process_single_image(raw_path: str, width: int, height: int,
                          output_dir: str, *, tta: bool = False,
                          window: Optional[int] = None,
-                         overlap: int = 128,
+                         overlap: Optional[int] = None,
                          per_class: bool = False,
                          eng: Optional[InferenceEngine] = None) -> bool:
     """Per-image pipeline.  ``tta`` enables the 8-fold ensemble; ``window``
     switches to native-resolution sliding-window inference (no 512²
-    downsample) with the given window size.  ``per_class`` additionally
-    emits ``{base}_classes.json`` (per-class labelme shapes).  ``eng``
-    overrides the global engine so concurrent callers can each own a
-    device-subset engine."""
+    downsample) with the given window size.  ``overlap`` defaults to
+    window/2: a uniform half-window stride takes the overlap-add blend
+    fast path (parallel/tiles.py — 2.9x faster than the general blend at
+    1024²x8, and more cross-window smoothing than the old 128 default).
+    ``per_class`` additionally emits ``{base}_classes.json`` (per-class
+    labelme shapes).  ``eng`` overrides the global engine so concurrent
+    callers can each own a device-subset engine."""
     try:
         eng = eng or get_engine()
         if eng is None:
@@ -720,7 +723,8 @@ def process_single_image(raw_path: str, width: int, height: int,
         # --- inference (one XLA program) + host mask cleanup ---------------
         t_inf = time.perf_counter()
         if window is not None:
-            mask = np.asarray(eng.infer_tiled(u8, window, overlap))
+            ov = overlap if overlap is not None else window // 2
+            mask = np.asarray(eng.infer_tiled(u8, window, ov))
         elif tta:
             mask = np.asarray(eng.infer_tta(u8))
         elif getattr(eng, "_cascade_params", None) is not None:

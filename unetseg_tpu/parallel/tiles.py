@@ -75,18 +75,66 @@ def _inv_weight_sum(h: int, w: int, window: int, stride: int) -> np.ndarray:
     return (1.0 / wsum)[..., None]
 
 
+def _regular_grid(starts: List[int], stride: int, window: int) -> bool:
+    """True when the grid is uniform-stride and the stride divides the
+    window — the overlap-add fast path's preconditions."""
+    return (window % stride == 0
+            and all(b - a == stride for a, b in zip(starts, starts[1:])))
+
+
+def _overlap_add(weighted: jax.Array, ny: int, nx: int, window: int,
+                 stride: int) -> jax.Array:
+    """(ny*nx, window, window, C) weighted tiles -> (h, w, C) canvas sum.
+
+    Classic overlap-add: with a uniform stride s dividing the window
+    (m = window/s chunks), chunk j of grid-row k lands at canvas row-block
+    k+j, so the canvas is m shifted adds of a reshaped tile volume per
+    axis — HBM traffic ~= m passes over the TILE volume instead of
+    materializing one full (h, w, C) canvas per tile.  The pad-and-stack
+    form measured blend-bound at 1024²x8 (107 ms of a 151 ms program);
+    this form is ~2 volume passes (benchmarks/RESULTS_r4.md config-3 note).
+    """
+    m = window // stride
+    c = weighted.shape[-1]
+    t = weighted.reshape(ny, nx, m, stride, window, c)
+    acc = None
+    for j in range(m):  # y-axis overlap-add: (ny, ...) -> (ny+m-1, ...)
+        part = jnp.pad(t[:, :, j], ((j, m - 1 - j),) + ((0, 0),) * 4)
+        acc = part if acc is None else acc + part
+    ry = acc  # (ny+m-1, nx, stride, window, C)
+    ry = ry.reshape(ny + m - 1, nx, stride, m, stride, c)
+    acc2 = None
+    for j in range(m):  # x-axis: (nx, ...) -> (nx+m-1, ...)
+        part = jnp.pad(ry[:, :, :, j],
+                       ((0, 0), (j, m - 1 - j)) + ((0, 0),) * 3)
+        acc2 = part if acc2 is None else acc2 + part
+    # (ny+m-1, nx+m-1, stride, stride, C) -> (h, w, C)
+    h = (ny + m - 1) * stride
+    w = (nx + m - 1) * stride
+    return acc2.transpose(0, 2, 1, 3, 4).reshape(h, w, c)
+
+
 def blend_windows(logit_tiles: jax.Array, h: int, w: int, window: int,
                   stride: int) -> jax.Array:
     """(n, window, window, C) -> (h, w, C) weighted-blended logit canvas.
 
-    Each weighted tile is zero-padded to the full canvas with STATIC
-    offsets and the stack summed — no sequential read-modify-write chain
-    (the dynamic_update_slice formulation serialized 2n canvas-sized
-    copies); the Hann coverage normalizer folds to a trace-time constant.
+    Regular grids (uniform stride dividing the window, e.g. the default
+    overlap 256 at 1024²) take the overlap-add fast path (_overlap_add).
+    Irregular grids (edge-clamped last window) fall back to zero-padding
+    each weighted tile to the full canvas with STATIC offsets and summing
+    the stack — no sequential read-modify-write chain (the
+    dynamic_update_slice formulation serialized 2n canvas-sized copies).
+    Either way the Hann coverage normalizer folds to a trace-time constant.
     """
     ys = window_grid(h, window, stride)
     xs = window_grid(w, window, stride)
     weight = jnp.asarray(_hann_weight(window))[..., None]
+    inv = jnp.asarray(_inv_weight_sum(h, w, window, stride))
+    if (len(ys) > 1 and len(xs) > 1
+            and _regular_grid(ys, stride, window)
+            and _regular_grid(xs, stride, window)):
+        return _overlap_add(logit_tiles * weight, len(ys), len(xs),
+                            window, stride) * inv
     padded = [
         jax.lax.pad(
             logit_tiles[k] * weight, jnp.float32(0),
@@ -94,7 +142,7 @@ def blend_windows(logit_tiles: jax.Array, h: int, w: int, window: int,
         for k, (y, x) in enumerate((y, x) for y in ys for x in xs)
     ]
     canvas = jnp.sum(jnp.stack(padded), axis=0)
-    return canvas * jnp.asarray(_inv_weight_sum(h, w, window, stride))
+    return canvas * inv
 
 
 def sliding_window_logits(params, img_f32: jax.Array, cfg: ModelConfig,
@@ -121,13 +169,15 @@ def make_tiled_batch_pipeline(cfg: ModelConfig, window: int = 512,
     """
 
     def pipeline(params, u8b):
-        x = u8b.astype(jnp.float32) / 255.0
-        b, h, w = x.shape
+        b, h, w = u8b.shape
         stride = window - overlap
+        # extract on u8 (1-byte gathers), cast per window after: 4x less
+        # gather traffic than windowing the f32 image
         tiles = jax.vmap(
-            lambda im: extract_windows(im, window, stride))(x)[..., None]
+            lambda im: extract_windows(im, window, stride))(u8b)[..., None]
         n = tiles.shape[1]
-        flat = tiles.reshape(b * n, window, window, 1)
+        flat = (tiles.reshape(b * n, window, window, 1)
+                .astype(jnp.float32) / 255.0)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -160,10 +210,10 @@ def make_tiled_pipeline(cfg: ModelConfig, window: int = 512,
     """
 
     def pipeline(params, u8):
-        x = u8.astype(jnp.float32) / 255.0
-        h, w = x.shape
+        h, w = u8.shape
         stride = window - overlap
-        tiles = extract_windows(x, window, stride)[..., None]
+        tiles = (extract_windows(u8, window, stride)[..., None]
+                 .astype(jnp.float32) / 255.0)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
