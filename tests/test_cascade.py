@@ -243,6 +243,83 @@ def test_disagree_requires_co():
                 *_tiny_params(), router="disagree")
 
 
+# -- union ("both") router ---------------------------------------------------
+
+@pytest.fixture()
+def both_engine(tmp_path):
+    cache = tmp_path / "e" / "student.ckpt"
+    cache.parent.mkdir()
+    checkpoint.create(str(cache), SMALL, seed=0)
+    co = tmp_path / "e" / "co.ckpt"
+    checkpoint.create(str(co), SMALL, seed=7)
+    fb = tmp_path / "e" / "fallback.ckpt"
+    checkpoint.create(str(fb), BIG, seed=1)
+    assert engine.initialize_engine(
+        str(cache), cascade_ckpt=str(fb), cascade_router="both",
+        cascade_co_ckpt=str(co), cascade_threshold=np.inf,
+        cascade_margin_threshold=-np.inf)
+    yield engine.get_engine(), str(fb), str(co)
+    engine.cleanup_resources()
+
+
+def test_both_neither_trips_matches_plain_infer(both_engine):
+    eng, _, _ = both_engine  # thresholds route nothing by fixture
+    u8 = _batch()
+    masks, conf, n_routed = eng.infer_cascade(u8)
+    assert n_routed == 0
+    np.testing.assert_array_equal(masks, np.asarray(eng.infer(u8.copy())))
+
+
+def test_both_is_union_of_the_two_routers(both_engine):
+    eng, fb_path, co_path = both_engine
+    u8 = _batch(n=9)
+    # read both statistics independently: disagreement from the both-router
+    # conf return, margin from a margin-router pass on the same engine
+    _, d_stat, _ = eng.infer_cascade(u8)
+    eng.cascade_router = "margin"
+    _, m_stat, _ = eng.infer_cascade(u8.copy())
+    eng.cascade_router = "both"
+    # set thresholds so each signal routes a DIFFERENT nonempty subset
+    eng.cascade_threshold = float(np.sort(d_stat)[-2])      # top-1 by disagree
+    eng.cascade_margin_threshold = float(np.sort(m_stat)[1])  # bottom-1 margin
+    expect = np.nonzero((d_stat > eng.cascade_threshold)
+                        | (m_stat < eng.cascade_margin_threshold))[0]
+    masks, conf, n_routed = eng.infer_cascade(u8.copy())
+    assert n_routed == expect.size >= 1
+    np.testing.assert_allclose(conf, d_stat, rtol=1e-6)  # conf = disagreement
+    fb_params, fb_cfg = checkpoint.load(fb_path)
+    fb_eng = engine.InferenceEngine(fb_params, fb_cfg)
+    fbm = np.asarray(fb_eng.infer(u8.copy()))
+    ms = np.asarray(eng.infer(u8.copy()))
+    for i in range(9):
+        np.testing.assert_array_equal(
+            masks[i], fbm[i] if i in expect else ms[i])
+
+
+def test_both_requires_co():
+    with pytest.raises(ValueError, match="co_params"):
+        engine.InferenceEngine(
+            *_tiny_params()).attach_cascade(
+                *_tiny_params(), router="both")
+
+
+def test_cli_init_cascade_both(tmp_path, capsys):
+    import io
+
+    from unetseg_tpu import cli
+
+    cache = tmp_path / "m.ckpt"
+    checkpoint.create(str(cache), SMALL, seed=0)
+    co = tmp_path / "co.ckpt"
+    checkpoint.create(str(co), SMALL, seed=7)
+    fb = tmp_path / "fb.ckpt"
+    checkpoint.create(str(fb), BIG, seed=1)
+    stdin = io.StringIO(
+        f"init {cache} --cascade-both {co} {fb} 10\nexit\n")
+    assert cli.repl(stdin) == 0
+    assert "Engine initialized successfully" in capsys.readouterr().out
+
+
 def _tiny_params():
     import jax
 

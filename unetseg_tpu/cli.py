@@ -38,6 +38,7 @@ def print_usage() -> None:
     print("  --tier full|mask_json|json    - Artifact set for --batched (default full)")
     print("  --cascade <ckpt> [threshold]  - Route low-margin slices to a stronger model (init)")
     print("  --cascade-disagree <co> <fb> [max_px] - Route on co-model pixel disagreement (init)")
+    print("  --cascade-both <co> <fb> [max_px] - Union router: disagreement OR low margin (init)")
     print("  <input>                       - Path to image file or directory")
 
 
@@ -117,12 +118,13 @@ def repl(stdin=None) -> int:
                         print("Error: invalid cascade threshold",
                               file=sys.stderr)
                         continue
-            elif rest and rest[0] == "--cascade-disagree":
+            elif rest and rest[0] in ("--cascade-disagree", "--cascade-both"):
                 if len(rest) < 3:
-                    print("Error: --cascade-disagree requires <co_ckpt> "
+                    print(f"Error: {rest[0]} requires <co_ckpt> "
                           "<fallback_ckpt>", file=sys.stderr)
                     continue
-                cascade_router = "disagree"
+                cascade_router = ("disagree" if rest[0] == "--cascade-disagree"
+                                  else "both")
                 cascade_co, cascade_ckpt = rest[1], rest[2]
                 cascade_thr = 64.0  # px; ~10%-routing point measured in
                 #                     benchmarks/exp_disagree.py

@@ -207,7 +207,7 @@ class InferenceEngine:
     def attach_cascade(self, params, cfg: ModelConfig,
                        threshold: float = 1.5, router: str = "margin",
                        co_params=None, co_cfg: Optional[ModelConfig] = None,
-                       ) -> None:
+                       margin_threshold: float = 1.5) -> None:
         """Register a stronger fallback model for suspect slices.
 
         The compact serving student's residual tail is boundary-precision on
@@ -227,16 +227,22 @@ class InferenceEngine:
           with more than ``threshold`` disagreeing pixels.  Costs one extra
           student pass but catches confidently-wrong slices (pooled
           ρ=−0.76; the worst slice ranks 5/96 by disagreement).
+        * ``router="both"`` — the union: route when the margin falls below
+          ``margin_threshold`` OR the disagreement exceeds ``threshold``
+          pixels.  The two signals are measured complementary (margin:
+          illumination-type uncertainty, ρ=+0.77 there; disagreement:
+          concave capacity failures) at the disagree router's cost — the
+          margin adds ~nothing on top of the second pass.
 
         The reference has no analog — its tail lives inside the opaque
         .trt artifact — but cascade routing is the standard production
         mitigation for a distilled model's worst case.
         """
-        if router not in ("margin", "disagree"):
-            raise ValueError(f"router must be 'margin' or 'disagree', "
-                             f"got {router!r}")
-        if router == "disagree" and co_params is None:
-            raise ValueError("router='disagree' needs co_params/co_cfg")
+        if router not in ("margin", "disagree", "both"):
+            raise ValueError(f"router must be 'margin', 'disagree' or "
+                             f"'both', got {router!r}")
+        if router in ("disagree", "both") and co_params is None:
+            raise ValueError(f"router={router!r} needs co_params/co_cfg")
 
         def _place(tree):
             # match the engine's own param placement (mesh-replicated on
@@ -251,6 +257,7 @@ class InferenceEngine:
         self._cascade_params = _place(params)
         self._cascade_cfg = cfg
         self.cascade_threshold = float(threshold)
+        self.cascade_margin_threshold = float(margin_threshold)
         self.cascade_router = router
         if co_params is not None:
             self._cascade_co_params = _place(co_params)
@@ -293,6 +300,32 @@ class InferenceEngine:
             mask = device_post.postprocess_masks(mask, use_pallas_cc=on_tpu)
         return mask, d
 
+    def _pipeline_both(self, params, co_params, u8_batch):
+        """_pipeline + BOTH router statistics in one XLA program.
+
+        The margin comes free once the primary logits exist (a handful of
+        elementwise compares, ops/confidence.py); the disagreement costs
+        the co-model pass it always costs.  Returns (mask, margin,
+        disagree_count) so the host can take the union.
+        """
+        from unetseg_tpu.ops import confidence
+
+        x = preprocess.model_input_from_u8(u8_batch)[..., None]
+        logits = model_registry.apply(params, x, self.cfg)
+        mask = decode.decode_mask(logits, self.cfg.num_classes)
+        margin = confidence.boundary_margin(logits, mask)
+        co_mask = decode.decode_mask(
+            model_registry.apply(co_params, x, self._cascade_co_cfg),
+            self._cascade_co_cfg.num_classes)
+        d = jnp.sum((mask != co_mask).reshape(mask.shape[0], -1),
+                    axis=1).astype(jnp.float32)
+        if self.device_postprocess:
+            from unetseg_tpu.ops import postprocess as device_post
+
+            on_tpu = jax.devices()[0].platform == "tpu"
+            mask = device_post.postprocess_masks(mask, use_pallas_cc=on_tpu)
+        return mask, margin, d
+
     def _cascade_fallback(self, bucket: int):
         """AOT fallback-model executable for a padded subset batch."""
         key = ("cascade", bucket)
@@ -323,6 +356,9 @@ class InferenceEngine:
 
         Returns (masks, confidences, n_routed); masks land on host (the
         routing decision is a host branch, so this path synchronizes).
+        ``confidences`` is the router statistic: boundary margin for
+        ``router="margin"``, pixel-disagreement count for ``"disagree"``
+        and ``"both"`` (the union router's margin term is internal).
         Requires :meth:`attach_cascade`.
         """
         if getattr(self, "_cascade_params", None) is None:
@@ -337,17 +373,31 @@ class InferenceEngine:
                     self.params, self._cascade_co_params, shape).compile()
             mask_d, conf_d = self._compiled[key](
                 self.params, self._cascade_co_params, self._put(u8))
+            margin_d = None
+        elif self.cascade_router == "both":
+            key = ("both", n)
+            if key not in self._compiled:
+                self._compiled[key] = jax.jit(self._pipeline_both).lower(
+                    self.params, self._cascade_co_params, shape).compile()
+            mask_d, margin_d, conf_d = self._compiled[key](
+                self.params, self._cascade_co_params, self._put(u8))
         else:
             key = ("conf", n)
             if key not in self._compiled:
                 self._compiled[key] = jax.jit(self._pipeline_conf).lower(
                     self.params, shape).compile()
             mask_d, conf_d = self._compiled[key](self.params, self._put(u8))
+            margin_d = None
         # np.array (owned copy): the routed rows are spliced in place below,
         # and np.asarray of a jax.Array is a read-only view.
         masks, conf = np.array(mask_d), np.asarray(conf_d)
         if self.cascade_router == "disagree":
             routed = np.nonzero(conf > self.cascade_threshold)[0]
+        elif self.cascade_router == "both":
+            margin = np.asarray(margin_d)
+            routed = np.nonzero(
+                (conf > self.cascade_threshold)
+                | (margin < self.cascade_margin_threshold))[0]
         else:
             routed = np.nonzero(conf < self.cascade_threshold)[0]
         if routed.size:
@@ -463,7 +513,8 @@ def initialize_engine(cache_path: str, log_dir: Optional[str] = None,
                       cascade_ckpt: Optional[str] = None,
                       cascade_threshold: float = 1.5,
                       cascade_router: str = "margin",
-                      cascade_co_ckpt: Optional[str] = None) -> bool:
+                      cascade_co_ckpt: Optional[str] = None,
+                      cascade_margin_threshold: float = 1.5) -> bool:
     """Load checkpoint, open log, set up compile cache, AOT-compile batch-1.
 
     ``device_postprocess=True`` fuses the mask cleanup into the device
@@ -472,8 +523,10 @@ def initialize_engine(cache_path: str, log_dir: Optional[str] = None,
     then re-runs routed slices through it.  ``cascade_router="margin"``
     routes on the student's boundary-band margin (< ``cascade_threshold``);
     ``"disagree"`` routes on pixel disagreement (> ``cascade_threshold``
-    pixels) against the co-model ``cascade_co_ckpt`` (see
-    InferenceEngine.attach_cascade for the measured tradeoffs)."""
+    pixels) against the co-model ``cascade_co_ckpt``; ``"both"`` takes the
+    union (disagreement > ``cascade_threshold`` OR margin <
+    ``cascade_margin_threshold``) — the two signals catch complementary
+    failure types (see InferenceEngine.attach_cascade)."""
     global _engine
     try:
         if log_dir is None:
@@ -511,16 +564,17 @@ def initialize_engine(cache_path: str, log_dir: Optional[str] = None,
                 return False
             fb_params, fb_cfg = checkpoint.load(cascade_ckpt)
             co_params = co_cfg = None
-            if cascade_router == "disagree":
+            if cascade_router in ("disagree", "both"):
                 if not (cascade_co_ckpt and os.path.exists(cascade_co_ckpt)):
                     GLOBAL_LOG.write(
-                        "Error: disagree router needs cascade_co_ckpt "
-                        f"- {cascade_co_ckpt}")
+                        f"Error: {cascade_router} router needs "
+                        f"cascade_co_ckpt - {cascade_co_ckpt}")
                     return False
                 co_params, co_cfg = checkpoint.load(cascade_co_ckpt)
             _engine.attach_cascade(fb_params, fb_cfg, cascade_threshold,
                                    router=cascade_router,
-                                   co_params=co_params, co_cfg=co_cfg)
+                                   co_params=co_params, co_cfg=co_cfg,
+                                   margin_threshold=cascade_margin_threshold)
             GLOBAL_LOG.write(
                 f"Cascade fallback attached: {cascade_ckpt} "
                 f"(router {cascade_router}, threshold {cascade_threshold})")

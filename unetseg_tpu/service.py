@@ -8,7 +8,8 @@ connections (the reference's global g_runtime/g_engine analog):
 
   {"cmd": "init", "cache": "/path/model.ckpt",
    "cascade": null, "cascade_threshold": 1.5,
-   "cascade_router": "margin"|"disagree", "cascade_co": null}
+   "cascade_router": "margin"|"disagree"|"both", "cascade_co": null,
+   "cascade_margin_threshold": 1.5}
   {"cmd": "process", "path": "...", "width": W, "height": H,
    "output_dir": "...", "recursive": false, "tta": false, "window": null,
    "per_class": false, "timeout_s": null,
@@ -245,16 +246,18 @@ class SegmentationService:
         if not cache:
             return {"ok": False, "error": "init requires 'cache'"}
         router = req.get("cascade_router", "margin")
-        if router not in ("margin", "disagree"):
-            return {"ok": False,
-                    "error": "cascade_router must be 'margin' or 'disagree'"}
+        if router not in ("margin", "disagree", "both"):
+            return {"ok": False, "error":
+                    "cascade_router must be 'margin', 'disagree' or 'both'"}
         with self._lock:
             ok = engine.initialize_engine(
                 cache, device_postprocess=self._device_postprocess,
                 cascade_ckpt=req.get("cascade"),
                 cascade_threshold=float(req.get("cascade_threshold", 1.5)),
                 cascade_router=router,
-                cascade_co_ckpt=req.get("cascade_co"))
+                cascade_co_ckpt=req.get("cascade_co"),
+                cascade_margin_threshold=float(
+                    req.get("cascade_margin_threshold", 1.5)))
             if ok and self._partitions > 1:
                 self._build_partitions()
         return {"ok": bool(ok)} if ok else \
