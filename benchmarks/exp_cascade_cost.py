@@ -7,6 +7,7 @@ dispatch-amortized queue-N-sync-once protocol (CLAUDE.md):
   plain     — normalize -> UNet -> argmax (the serving program)
   margin    — + boundary-margin conf (top-2 + two reduce_windows + scalar)
   disagree  — + full co-student pass + pixel-mismatch count
+  both      — + co-student pass + mismatch count + margin (union router)
 
 Usage: python benchmarks/exp_cascade_cost.py [batch] [iters]
 """
@@ -48,6 +49,8 @@ def main():
     eng._cascade_co_cfg = co_cfg
     disagree = jax.jit(eng._pipeline_disagree).lower(
         eng.params, eng._cascade_co_params, shape).compile()
+    both = jax.jit(eng._pipeline_both).lower(
+        eng.params, eng._cascade_co_params, shape).compile()
 
     u8_d = jax.device_put(u8, eng._device)
 
@@ -72,8 +75,10 @@ def main():
     t_plain = timeit("plain", plain_nd, 2)
     t_margin = timeit("margin", margin, 2)
     t_dis = timeit("disagree", disagree, 3)
+    t_both = timeit("both", both, 3)
     print(f"\nmargin overhead  {100*(t_margin/t_plain-1):+.1f}%   "
-          f"disagree overhead {100*(t_dis/t_plain-1):+.1f}%")
+          f"disagree overhead {100*(t_dis/t_plain-1):+.1f}%   "
+          f"both overhead {100*(t_both/t_plain-1):+.1f}%")
 
 
 if __name__ == "__main__":

@@ -232,7 +232,9 @@ class InferenceEngine:
           pixels.  The two signals are measured complementary (margin:
           illumination-type uncertainty, ρ=+0.77 there; disagreement:
           concave capacity failures) at the disagree router's cost — the
-          margin adds ~nothing on top of the second pass.
+          margin adds ~5% on top of the second pass (measured: plain
+          16.8 ms/128, disagree +92.5%, both +101.8% —
+          benchmarks/exp_cascade_cost.py).
 
         The reference has no analog — its tail lives inside the opaque
         .trt artifact — but cascade routing is the standard production
