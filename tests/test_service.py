@@ -198,6 +198,49 @@ def test_service_metrics_endpoint(svc):
     assert "inference_ms" in img and "total_ms" in img
 
 
+def test_service_cascade_init(svc):
+    """Cascade routers through the service surface: margin needs only the
+    fallback, disagree/both need the co-model too, a bad router is rejected
+    before touching the engine, and processing works with the cascade
+    attached (engine.process_* auto-routes when _cascade_params is set)."""
+    s, addr, tmp_path = svc
+    cache = _setup_data(tmp_path, n=2)
+    co = str(tmp_path / "engine" / "co.ckpt")
+    fb = str(tmp_path / "engine" / "fb.ckpt")
+    checkpoint.create(co, SMALL, seed=2)
+    checkpoint.create(fb, ModelConfig(base_channels=12, depth=2,
+                                      image_size=64,
+                                      compute_dtype="float32"), seed=1)
+
+    # invalid router rejected up front
+    r = service.request(addr, {"cmd": "init", "cache": cache,
+                               "cascade": fb, "cascade_router": "nope"})
+    assert not r["ok"] and "cascade_router" in r["error"]
+
+    # disagree/both without a co-model -> init fails honestly
+    r = service.request(addr, {"cmd": "init", "cache": cache,
+                               "cascade": fb,
+                               "cascade_router": "disagree"})
+    assert not r["ok"]
+
+    for router in ("disagree", "both"):
+        r = service.request(addr, {
+            "cmd": "init", "cache": cache, "cascade": fb,
+            "cascade_router": router, "cascade_co": co,
+            "cascade_threshold": 0.0,          # px: everything routes
+            "cascade_margin_threshold": 1.5})
+        assert r["ok"], (router, r)
+        eng = engine.get_engine()
+        assert eng.cascade_router == router
+        assert getattr(eng, "_cascade_co_params", None) is not None
+        r = service.request(addr, {
+            "cmd": "process", "path": str(tmp_path / "data" / "s0.raw"),
+            "width": 90, "height": 70,
+            "output_dir": str(tmp_path / f"casc_{router}")})
+        assert r["ok"]
+        assert (tmp_path / f"casc_{router}" / "s0_mask.png").exists()
+
+
 def test_cli_serve_arg_parsing(monkeypatch):
     """--serve [HOST:]PORT and --device-post reach service.serve."""
     import sys as _sys
