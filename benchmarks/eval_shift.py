@@ -17,6 +17,7 @@ slices.  For each family this reports:
 Usage: python benchmarks/eval_shift.py [n_per_kind]
 """
 
+import zlib
 import json
 import os
 import sys
@@ -58,7 +59,7 @@ def main():
     host_s = jax.device_get(s_params)
 
     for kind in ("lobulated", "crescent", "illum"):
-        rng = np.random.default_rng(hash(kind) % 2**31)
+        rng = np.random.default_rng(zlib.crc32(kind.encode()) % 2**31)
         raws = np.empty((n, 512, 512), np.uint16)
         labels = np.empty((n, 512, 512), np.uint8)
         for i in range(n):

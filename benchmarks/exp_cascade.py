@@ -22,6 +22,7 @@ when the lowest-confidence X% of slices are routed to a fallback model
 Usage: python benchmarks/exp_cascade.py [n_per_family]
 """
 
+import zlib
 import os
 import sys
 import time
@@ -82,7 +83,7 @@ def main():
     families = ("standard", "crescent", "lobulated", "illum")
     rows = []  # (family, i, conf, iou_student, {fb: iou})
     for fam in families:
-        rng = np.random.default_rng(hash(fam) % 2**31 + 13)
+        rng = np.random.default_rng(zlib.crc32(fam.encode()) % 2**31 + 13)
         u8 = np.empty((n, 512, 512), np.uint8)
         labs = np.empty((n, 512, 512), np.uint8)
         for i in range(n):

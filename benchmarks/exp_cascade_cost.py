@@ -43,7 +43,6 @@ def main():
         0, 256, (batch, 512, 512)).astype(np.uint8)
     shape = jax.ShapeDtypeStruct((batch, 512, 512), jnp.uint8)
 
-    plain = eng.compile(batch)
     margin = jax.jit(eng._pipeline_conf).lower(eng.params, shape).compile()
     eng._cascade_co_params = jax.device_put(co_params, eng._device)
     eng._cascade_co_cfg = co_cfg

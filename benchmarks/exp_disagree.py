@@ -22,6 +22,7 @@ the routing curve (route top-disagreement X% to the teacher).
 Usage: python benchmarks/exp_disagree.py [n_per_family]
 """
 
+import zlib
 import os
 import sys
 
@@ -65,7 +66,7 @@ def main():
 
     rows = []  # (family, disagreement, iou_specialist, iou_teacher)
     for fam in ("standard", "crescent", "lobulated", "illum"):
-        rng = np.random.default_rng(hash(fam) % 2**31 + 13)  # = exp_cascade
+        rng = np.random.default_rng(zlib.crc32(fam.encode()) % 2**31 + 13)  # = exp_cascade
         u8 = np.empty((n, 512, 512), np.uint8)
         labs = np.empty((n, 512, 512), np.uint8)
         for i in range(n):

@@ -20,6 +20,7 @@ about.
 Usage: python benchmarks/exp_union.py [n_per_family]
 """
 
+import zlib
 import os
 import sys
 
@@ -69,7 +70,7 @@ def main():
 
     rows = []  # (family, margin, disagreement, iou_student, iou_teacher)
     for fam in ("standard", "crescent", "lobulated", "illum"):
-        rng = np.random.default_rng(hash(fam) % 2**31 + 13)  # = exp_cascade
+        rng = np.random.default_rng(zlib.crc32(fam.encode()) % 2**31 + 13)  # = exp_cascade
         u8 = np.empty((n, 512, 512), np.uint8)
         labs = np.empty((n, 512, 512), np.uint8)
         for i in range(n):

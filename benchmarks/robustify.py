@@ -23,6 +23,7 @@ Usage: python benchmarks/robustify.py teacher [steps]
        python benchmarks/robustify.py student [steps] [n_train] [out]
 """
 
+import zlib
 import os
 import shutil
 import sys
@@ -86,7 +87,7 @@ def eval_report(params, cfg, tag):
     run(u8, labels, "bench-991")
     # shifted families (crescent = held out)
     for kind in ("lobulated", "illum", "crescent"):
-        krng = np.random.default_rng(hash(kind) % 2**31)
+        krng = np.random.default_rng(zlib.crc32(kind.encode()) % 2**31)
         raws = np.empty((24, 512, 512), np.uint16)
         labs = np.empty((24, 512, 512), np.uint8)
         for i in range(24):

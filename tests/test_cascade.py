@@ -373,3 +373,74 @@ def test_process_single_image_uses_cascade(cascade_engine, tmp_path):
     expect = np.asarray(decode.mask_to_image(
         native.postprocess_batch(np.asarray(fb_eng.infer(u8[None])))[0]))
     np.testing.assert_array_equal(vis, expect)
+
+
+# -- round-4 review fixes ----------------------------------------------------
+
+def test_init_precompiles_cascade_programs(tmp_path):
+    """With a cascade attached, the hot path is the fused router program —
+    initialize_engine must warm it (plus the route bucket) so the first
+    process request pays no lazy compile (the reference's warm-up contract,
+    src/process.cpp:92-105)."""
+    cache = tmp_path / "m.ckpt"
+    checkpoint.create(str(cache), SMALL, seed=0)
+    fb = tmp_path / "fb.ckpt"
+    checkpoint.create(str(fb), BIG, seed=1)
+    try:
+        assert engine.initialize_engine(str(cache), cascade_ckpt=str(fb))
+        eng = engine.get_engine()
+        assert ("conf", 1) in eng._compiled       # fused student+router
+        assert ("cascade", 1) in eng._compiled    # fallback route bucket
+    finally:
+        engine.cleanup_resources()
+
+
+def test_partitioned_engines_propagate_cascade(tmp_path):
+    """make_partitioned_engines must copy the cascade attachment: a
+    partitioned service otherwise silently serves the uncascaded masks the
+    operator configured the cascade to avoid."""
+    cache = tmp_path / "m.ckpt"
+    checkpoint.create(str(cache), SMALL, seed=0)
+    co = tmp_path / "co.ckpt"
+    checkpoint.create(str(co), SMALL, seed=7)
+    fb = tmp_path / "fb.ckpt"
+    checkpoint.create(str(fb), BIG, seed=1)
+    try:
+        assert engine.initialize_engine(
+            str(cache), cascade_ckpt=str(fb), cascade_router="both",
+            cascade_co_ckpt=str(co), cascade_threshold=0.0,
+            cascade_margin_threshold=1.5)
+        parts = engine.make_partitioned_engines(2)
+        assert len(parts) == 2
+        for p in parts:
+            assert getattr(p, "_cascade_params", None) is not None
+            assert getattr(p, "_cascade_co_params", None) is not None
+            assert p.cascade_router == "both"
+            assert p.cascade_threshold == 0.0
+            assert p.cascade_margin_threshold == 1.5
+        # the partition engine actually routes (threshold 0 px: everything)
+        u8 = _batch(n=2)
+        masks, _conf, n_routed = parts[0].infer_cascade(u8)
+        assert masks.shape == (2, 64, 64) and n_routed == 2
+    finally:
+        engine.cleanup_resources()
+
+
+def test_cli_cascade_both_margin_threshold_arg(monkeypatch):
+    """--cascade-both <co> <fb> [max_px] [margin_thr]: the union's margin
+    leg is tunable from the CLI (round-4 review fix)."""
+    import io
+
+    from unetseg_tpu import cli
+
+    calls = {}
+
+    def fake_init(cache, **kw):
+        calls.update(kw)
+        return False  # stop before touching real checkpoints
+
+    monkeypatch.setattr(cli.engine, "initialize_engine", fake_init)
+    cli.repl(io.StringIO("init m.ckpt --cascade-both co fb 32 0.7\nexit\n"))
+    assert calls["cascade_router"] == "both"
+    assert calls["cascade_threshold"] == 32.0
+    assert calls["cascade_margin_threshold"] == 0.7

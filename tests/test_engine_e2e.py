@@ -484,3 +484,27 @@ def test_tta_serves_every_registered_arch(tmp_path):
     qcfg = dataclasses.replace(SMALL, arch="unet_w8a8")
     eng2 = InferenceEngine(q, qcfg)
     assert np.asarray(eng2.infer_tta(u8)).shape == (64, 64)
+
+
+def test_cli_window_overlap_flags(monkeypatch, tmp_path):
+    """--window N --overlap M reach process_single_image (the overlap knob
+    restores pre-r4 window counts on large images; round-4 review fix)."""
+    import io
+
+    from unetseg_tpu import cli
+
+    calls = {}
+
+    def fake_process(path, w, h, out, **kw):
+        calls.update(kw)
+        return True
+
+    monkeypatch.setattr(cli.engine, "initialize_engine", lambda *a, **k: True)
+    monkeypatch.setattr(cli.engine, "process_single_image", fake_process)
+    raw = tmp_path / "x.raw"
+    raw.write_bytes(b"\0\0" * 64 * 64)
+    cli.repl(io.StringIO(
+        f"init m.ckpt\nprocess --window 512 --overlap 128 {raw} 64 64 "
+        f"{tmp_path}\nexit\n"))
+    assert calls["window"] == 512
+    assert calls["overlap"] == 128

@@ -33,12 +33,15 @@ def print_usage() -> None:
     print("  --batched                     - Use batched TPU inference for directories")
     print("  --tta                         - 8-fold flip/rot90 ensemble inference")
     print("  --window N                    - Native-resolution sliding-window inference")
+    print("  --overlap N                   - Window overlap (default N/2; N/2 on a regular")
+    print("                                  grid takes the overlap-add fast blend; smaller")
+    print("                                  overlap = fewer windows on large images)")
     print("  --per-class                   - Also emit {base}_classes.json (per-class shapes)")
     print("  --fast-emit                   - Batched C++ artifact emission (with --batched)")
     print("  --tier full|mask_json|json    - Artifact set for --batched (default full)")
     print("  --cascade <ckpt> [threshold]  - Route low-margin slices to a stronger model (init)")
     print("  --cascade-disagree <co> <fb> [max_px] - Route on co-model pixel disagreement (init)")
-    print("  --cascade-both <co> <fb> [max_px] - Union router: disagreement OR low margin (init)")
+    print("  --cascade-both <co> <fb> [max_px] [margin_thr] - Union router: disagreement OR low margin (init)")
     print("  <input>                       - Path to image file or directory")
 
 
@@ -104,6 +107,7 @@ def repl(stdin=None) -> int:
             cache_path = parts[1]
             cascade_ckpt, cascade_thr = None, 1.5
             cascade_router, cascade_co = "margin", None
+            cascade_margin_thr = 1.5
             rest = parts[2:]
             if rest and rest[0] == "--cascade":
                 if len(rest) < 2:
@@ -135,11 +139,22 @@ def repl(stdin=None) -> int:
                         print("Error: invalid disagreement threshold",
                               file=sys.stderr)
                         continue
+                if cascade_router == "both" and len(rest) > 4:
+                    # the union's second leg: route when the boundary margin
+                    # falls below this (default 1.5, as --cascade)
+                    try:
+                        cascade_margin_thr = float(rest[4])
+                    except ValueError:
+                        print("Error: invalid margin threshold",
+                              file=sys.stderr)
+                        continue
             if engine.initialize_engine(cache_path,
                                         cascade_ckpt=cascade_ckpt,
                                         cascade_threshold=cascade_thr,
                                         cascade_router=cascade_router,
-                                        cascade_co_ckpt=cascade_co):
+                                        cascade_co_ckpt=cascade_co,
+                                        cascade_margin_threshold=
+                                        cascade_margin_thr):
                 print("Engine initialized successfully")
                 initialized = True
             else:
@@ -151,10 +166,11 @@ def repl(stdin=None) -> int:
                 continue
             args = parts[1:]
             recursive = batched = tta = per_class = fast_emit = False
-            window = None
+            window = overlap = None
             tier = "full"
             while args and args[0] in ("-r", "--batched", "--tta", "--window",
-                                       "--per-class", "--fast-emit", "--tier"):
+                                       "--overlap", "--per-class",
+                                       "--fast-emit", "--tier"):
                 flag = args.pop(0)
                 if flag == "-r":
                     recursive = True
@@ -166,6 +182,10 @@ def repl(stdin=None) -> int:
                     if not args:
                         break
                     window = int(args.pop(0))
+                elif flag == "--overlap":
+                    if not args:
+                        break
+                    overlap = int(args.pop(0))
                 elif flag == "--per-class":
                     per_class = True
                 elif flag == "--fast-emit":
@@ -200,7 +220,8 @@ def repl(stdin=None) -> int:
                     print(f"Processing file: {input_path}")
                     if engine.process_single_image(
                         input_path, width, height, output_dir,
-                        tta=tta, window=window, per_class=per_class,
+                        tta=tta, window=window, overlap=overlap,
+                        per_class=per_class,
                     ):
                         print("Processing completed")
                     else:

@@ -352,6 +352,39 @@ class InferenceEngine:
                 self._cascade_params, shape).compile()
         return self._compiled[key]
 
+    def _cascade_router_exec(self, n: int):
+        """AOT executable of the fused student+router program for batch n."""
+        shape = jax.ShapeDtypeStruct((n, self.size, self.size), jnp.uint8)
+        if self.cascade_router == "disagree":
+            key = ("disagree", n)
+            if key not in self._compiled:
+                self._compiled[key] = jax.jit(self._pipeline_disagree).lower(
+                    self.params, self._cascade_co_params, shape).compile()
+        elif self.cascade_router == "both":
+            key = ("both", n)
+            if key not in self._compiled:
+                self._compiled[key] = jax.jit(self._pipeline_both).lower(
+                    self.params, self._cascade_co_params, shape).compile()
+        else:
+            key = ("conf", n)
+            if key not in self._compiled:
+                self._compiled[key] = jax.jit(self._pipeline_conf).lower(
+                    self.params, shape).compile()
+        return self._compiled[key]
+
+    def compile_cascade(self, n: int = 1) -> None:
+        """AOT-compile the cascade serving programs for batch n at init time.
+
+        Mirrors :meth:`compile` for the plain path: with a cascade attached
+        the hot path is the fused router program plus the fallback bucket,
+        and leaving them to lazy first-use compilation would hand the first
+        ``process`` request a multi-second (tunneled: ~30 s/program) stall
+        the reference's warm-up contract (src/process.cpp:92-105) exists to
+        avoid.
+        """
+        self._cascade_router_exec(n)
+        self._cascade_fallback(1)  # the single-image route bucket
+
     def infer_cascade(self, u8_batch: np.ndarray
                       ) -> Tuple[np.ndarray, np.ndarray, int]:
         """Student pass + margin-routed fallback re-runs.
@@ -367,28 +400,16 @@ class InferenceEngine:
             raise RuntimeError("attach_cascade first")
         n = u8_batch.shape[0]
         u8 = np.asarray(u8_batch)
-        shape = jax.ShapeDtypeStruct((n, self.size, self.size), jnp.uint8)
+        exe = self._cascade_router_exec(n)
         if self.cascade_router == "disagree":
-            key = ("disagree", n)
-            if key not in self._compiled:
-                self._compiled[key] = jax.jit(self._pipeline_disagree).lower(
-                    self.params, self._cascade_co_params, shape).compile()
-            mask_d, conf_d = self._compiled[key](
+            mask_d, conf_d = exe(
                 self.params, self._cascade_co_params, self._put(u8))
             margin_d = None
         elif self.cascade_router == "both":
-            key = ("both", n)
-            if key not in self._compiled:
-                self._compiled[key] = jax.jit(self._pipeline_both).lower(
-                    self.params, self._cascade_co_params, shape).compile()
-            mask_d, margin_d, conf_d = self._compiled[key](
+            mask_d, margin_d, conf_d = exe(
                 self.params, self._cascade_co_params, self._put(u8))
         else:
-            key = ("conf", n)
-            if key not in self._compiled:
-                self._compiled[key] = jax.jit(self._pipeline_conf).lower(
-                    self.params, shape).compile()
-            mask_d, conf_d = self._compiled[key](self.params, self._put(u8))
+            mask_d, conf_d = exe(self.params, self._put(u8))
             margin_d = None
         # np.array (owned copy): the routed rows are spliced in place below,
         # and np.asarray of a jax.Array is a read-only view.
@@ -579,9 +600,17 @@ def initialize_engine(cache_path: str, log_dir: Optional[str] = None,
                                    margin_threshold=cascade_margin_threshold)
             GLOBAL_LOG.write(
                 f"Cascade fallback attached: {cascade_ckpt} "
-                f"(router {cascade_router}, threshold {cascade_threshold})")
+                f"(router {cascade_router}, threshold {cascade_threshold}"
+                + (f", margin_threshold {cascade_margin_threshold}"
+                   if cascade_router == "both" else "") + ")")
         t0 = time.perf_counter()
         _engine.compile(1)
+        if cascade_ckpt:
+            # with a cascade attached, process_single_image serves through
+            # the fused router program, not the plain batch-1 executable —
+            # warm THAT path up too (plus the route bucket) so the first
+            # request pays no lazy compile.
+            _engine.compile_cascade(1)
         compile_ms = int((time.perf_counter() - t0) * 1000)
 
         size = cfg.image_size
@@ -631,11 +660,24 @@ def make_partitioned_engines(n_partitions: int,
     bounds = [0]
     for s in sizes:
         bounds.append(bounds[-1] + s)
-    return [
+    engines = [
         InferenceEngine(base.params, base.cfg, device_postprocess,
                         devices=devs[bounds[i]:bounds[i + 1]])
         for i in range(n)
     ]
+    if getattr(base, "_cascade_params", None) is not None:
+        # the partitions must serve the same policy the operator configured
+        # on the base engine — a partitioned service silently dropping the
+        # cascade would emit exactly the uncascaded masks the cascade was
+        # attached to avoid
+        for eng in engines:
+            eng.attach_cascade(
+                base._cascade_params, base._cascade_cfg,
+                base.cascade_threshold, router=base.cascade_router,
+                co_params=getattr(base, "_cascade_co_params", None),
+                co_cfg=getattr(base, "_cascade_co_cfg", None),
+                margin_threshold=base.cascade_margin_threshold)
+    return engines
 
 
 def cleanup_resources() -> None:

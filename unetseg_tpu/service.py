@@ -12,6 +12,7 @@ connections (the reference's global g_runtime/g_engine analog):
    "cascade_margin_threshold": 1.5}
   {"cmd": "process", "path": "...", "width": W, "height": H,
    "output_dir": "...", "recursive": false, "tta": false, "window": null,
+   "overlap": null,
    "per_class": false, "timeout_s": null,
    "emitter": "cv2"|"native", "tier": "full"|"mask_json"|"json"}
   {"cmd": "status"}
@@ -309,6 +310,7 @@ class SegmentationService:
             return {"ok": False, "error": f"process requires {e.args[0]!r}"}
         tta = bool(req.get("tta", False))
         window = req.get("window")
+        overlap = req.get("overlap")  # sliding-window overlap (default W/2)
         per_class = bool(req.get("per_class", False))
         emitter = req.get("emitter", "cv2")
         tier = req.get("tier", "full")
@@ -349,6 +351,7 @@ class SegmentationService:
                 ok = engine.process_single_image(
                     path, width, height, out_dir, tta=tta,
                     window=int(window) if window else None,
+                    overlap=int(overlap) if overlap else None,
                     per_class=per_class, eng=eng)
                 with self._count_lock:
                     self._n_processed += int(ok)
