@@ -25,6 +25,8 @@
 #include <string>
 #include <vector>
 
+#include "unetseg_host.h"  // public C API — definitions below must match
+
 #ifdef _OPENMP
 #include <omp.h>
 #endif

@@ -29,18 +29,7 @@
 #include <string>
 #include <vector>
 
-extern "C" {
-int utpu_extract_contours(const uint8_t* mask, int h, int w,
-                          int32_t** out_points, int32_t** out_offsets,
-                          int32_t* out_n_points);
-char* utpu_contour_json(const int32_t* points, const int32_t* offsets,
-                        int n_contours, const char* base_name, int orig_w,
-                        int orig_h, double scale_x, double scale_y,
-                        size_t* out_len);
-char* utpu_size_json(const char* filename, int orig_w, int orig_h,
-                     int scaled_w, int scaled_h, size_t* out_len);
-void utpu_free(void* p);
-}
+#include "unetseg_host.h"  // cross-TU prototypes, compiler-checked
 
 namespace {
 
@@ -157,7 +146,8 @@ void png_encode(std::string& out, const uint8_t* img, int h, int w,
   idat.push_back('\x78');  // zlib CMF: deflate, 32K window
   idat.push_back('\x01');  // FLG: check bits, no dict, fastest
   size_t off = 0;
-  while (off < raw.size()) {
+  do {  // do-while: zero-area input still gets its final (empty) stored
+        // block — a bare zlib header with no BFINAL block is invalid
     const size_t len = std::min<size_t>(raw.size() - off, 65535);
     const bool last = off + len == raw.size();
     idat.push_back(last ? 1 : 0);  // BFINAL, BTYPE=00 (stored)
@@ -167,7 +157,7 @@ void png_encode(std::string& out, const uint8_t* img, int h, int w,
     idat.push_back(static_cast<char>((~len >> 8) & 0xFF));
     idat.append(reinterpret_cast<const char*>(raw.data()) + off, len);
     off += len;
-  }
+  } while (off < raw.size());
   put_be32(idat, adler32(raw.data(), raw.size()));
   put_chunk(out, "IDAT", idat);
   put_chunk(out, "IEND", "");
@@ -243,6 +233,7 @@ int utpu_emit_slice(const uint8_t* norm_u8, const uint8_t* clean_mask, int h,
                     int w, const char* out_dir, const char* base_name,
                     const char* src_filename, int orig_w, int orig_h,
                     int tier) {
+  if (h <= 0 || w <= 0) return 1;  // zero-area PNGs are invalid per spec
   std::vector<uint8_t> vis(static_cast<size_t>(h) * w);
   static const uint8_t LUT[3] = {0, 128, 255};
   for (size_t i = 0; i < vis.size(); ++i)

@@ -350,3 +350,47 @@ def test_blend_irregular_grid_falls_back(params):
     u8 = rng.integers(0, 256, (96, 96)).astype(np.uint8)
     m = np.asarray(fn(params, jnp.asarray(u8)))
     assert m.shape == (96, 96) and set(np.unique(m)) <= {0, 1, 2}
+
+
+# -- round-4 review fixes (tiles library hardening) ---------------------------
+
+def test_tiles_small_image_edge_pads(params):
+    """Images smaller than one window edge-pad inside the LIBRARY (the
+    engine previously carried a private workaround; bare library calls
+    crashed at trace time with an out-of-bounds lax.slice)."""
+    rng = np.random.default_rng(5)
+    u8 = rng.integers(0, 256, size=(40, 96), dtype=np.uint8)  # H < window
+    fn = tiles.make_tiled_pipeline(SMALL, window=64, overlap=0)
+    got = np.asarray(fn(params, jnp.asarray(u8)))
+    assert got.shape == (40, 96)
+    # logits path too
+    lg = tiles.sliding_window_logits(
+        params, jnp.asarray(u8.astype(np.float32) / 255.0), SMALL, window=64,
+        overlap=0)
+    assert lg.shape == (40, 96, 3)
+    # batched
+    u8b = rng.integers(0, 256, size=(2, 40, 40), dtype=np.uint8)
+    fb = tiles.make_tiled_batch_pipeline(SMALL, window=64, overlap=0)
+    assert np.asarray(fb(params, jnp.asarray(u8b))).shape == (2, 40, 40)
+
+
+def test_tiles_default_overlap_is_half_window(params):
+    """overlap=None (the new default) == window//2 — the stale 128 default
+    contradicted the documented fast-path default and made the overlap-add
+    blend unreachable at defaults."""
+    rng = np.random.default_rng(6)
+    u8 = rng.integers(0, 256, size=(128, 128), dtype=np.uint8)
+    got_default = np.asarray(
+        tiles.make_tiled_pipeline(SMALL, window=64)(params, jnp.asarray(u8)))
+    got_half = np.asarray(
+        tiles.make_tiled_pipeline(SMALL, window=64, overlap=32)(
+            params, jnp.asarray(u8)))
+    np.testing.assert_array_equal(got_default, got_half)
+
+
+def test_tiles_invalid_overlap_rejected():
+    for bad in (-1, 64, 65):
+        with pytest.raises(ValueError):
+            tiles.make_tiled_pipeline(SMALL, window=64, overlap=bad)
+        with pytest.raises(ValueError):
+            tiles.make_tiled_batch_pipeline(SMALL, window=64, overlap=bad)

@@ -36,23 +36,18 @@ def min_area_threshold(h: int, w: int) -> int:
     return int(np.float32(w * h) * MIN_AREA_RATIO)
 
 
-def _cc_with_stats(fg: jax.Array, use_pallas: bool):
-    if use_pallas:
-        from unetseg_tpu.ops.cc_pallas import cc_label_pallas
+def fill_holes_inside_foreground(mask: jax.Array) -> jax.Array:
+    """(H, W) uint8 label mask -> mask with interior holes set to 2.
 
-        lbl = cc_label_pallas(fg)
-        return lbl, cc.cc_stats(fg, lbl)
-    return cc.connected_components_with_stats(fg)
-
-
-def fill_holes_inside_foreground(mask: jax.Array,
-                                 use_pallas_cc: bool = False) -> jax.Array:
-    """(H, W) uint8 label mask -> mask with interior holes set to 2."""
+    Always uses the XLA CCL (this is the readable oracle path; the device
+    fast path is :func:`_postprocess_masks_v4`, which has its own Pallas
+    labeling — the old per-stage ``use_pallas_cc`` plumbing here was an
+    unreachable third hybrid and was removed)."""
     h, w = mask.shape
     min_area = min_area_threshold(h, w)
     fg = mask == FOREGROUND_VALUE
     inv = ~fg
-    lbl, stats = _cc_with_stats(inv, use_pallas_cc)
+    lbl, stats = cc.connected_components_with_stats(inv)
     is_hole = (
         (stats.min_col > 0)
         & (stats.min_row > 0)
@@ -79,7 +74,7 @@ def postprocess_mask(mask: jax.Array, use_pallas_cc: bool = False,
     h, w = mask.shape
     min_area = min_area_threshold(h, w)
 
-    mask = fill_holes_inside_foreground(mask, use_pallas_cc=False)
+    mask = fill_holes_inside_foreground(mask)
 
     fg = morphology.open_(mask == FOREGROUND_VALUE, MORPH_KERNEL_SIZE)
 

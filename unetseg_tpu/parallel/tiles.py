@@ -52,7 +52,10 @@ def _hann_weight(window: int) -> np.ndarray:
 
 
 def extract_windows(img: jax.Array, window: int, stride: int) -> jax.Array:
-    """(H, W) -> (n_windows, window, window); static grid, unrolled slices."""
+    """(H, W) -> (n_windows, window, window); static grid, unrolled slices.
+
+    Requires H >= window and W >= window — the pipeline entry points
+    edge-pad smaller images first (:func:`_pad_to_window`)."""
     h, w = img.shape
     ys = window_grid(h, window, stride)
     xs = window_grid(w, window, stride)
@@ -62,6 +65,32 @@ def extract_windows(img: jax.Array, window: int, stride: int) -> jax.Array:
         for x in xs
     ]
     return jnp.stack(tiles)
+
+
+def _pad_to_window(img: jax.Array, window: int):
+    """Edge-pad the trailing (H, W) axes up to the window size.
+
+    Images smaller than one window previously crashed every library entry
+    point at trace time (lax.slice out of bounds) even though window_grid
+    documents the clamp; the engine carried a private workaround
+    (engine.infer_tiled) — now the library handles it.  Returns
+    (padded, ph, pw) so callers crop the result back."""
+    h, w = img.shape[-2], img.shape[-1]
+    ph, pw = max(0, window - h), max(0, window - w)
+    if ph or pw:
+        pad = ((0, 0),) * (img.ndim - 2) + ((0, ph), (0, pw))
+        img = jnp.pad(img, pad, mode="edge")
+    return img, ph, pw
+
+
+def _resolve_overlap(window: int, overlap) -> int:
+    """None -> window//2 (the overlap-add fast-path default); validate."""
+    ov = window // 2 if overlap is None else int(overlap)
+    if not 0 <= ov < window:
+        raise ValueError(
+            f"overlap must be in [0, window); got overlap={ov}, "
+            f"window={window}")
+    return ov
 
 
 @functools.lru_cache(maxsize=32)
@@ -119,7 +148,8 @@ def blend_windows(logit_tiles: jax.Array, h: int, w: int, window: int,
     """(n, window, window, C) -> (h, w, C) weighted-blended logit canvas.
 
     Regular grids (uniform stride dividing the window, e.g. the default
-    overlap 256 at 1024²) take the overlap-add fast path (_overlap_add).
+    overlap window/2 at 1024²) take the overlap-add fast path
+    (_overlap_add).
     Irregular grids (edge-clamped last window) fall back to zero-padding
     each weighted tile to the full canvas with STATIC offsets and summing
     the stack — no sequential read-modify-write chain (the
@@ -146,17 +176,23 @@ def blend_windows(logit_tiles: jax.Array, h: int, w: int, window: int,
 
 
 def sliding_window_logits(params, img_f32: jax.Array, cfg: ModelConfig,
-                          window: int = 512, overlap: int = 128) -> jax.Array:
-    """(H, W) float image in [0,1] -> (H, W, C) blended logits."""
+                          window: int = 512, overlap=None) -> jax.Array:
+    """(H, W) float image in [0,1] -> (H, W, C) blended logits.
+
+    ``overlap=None`` means window/2 (the product default; regular grids
+    take the overlap-add fast blend)."""
+    overlap = _resolve_overlap(window, overlap)
     h, w = img_f32.shape
+    img_f32, ph, pw = _pad_to_window(img_f32, window)
     stride = window - overlap
     tiles = extract_windows(img_f32, window, stride)[..., None]
     logit_tiles = model_registry.apply(params, tiles, cfg)
-    return blend_windows(logit_tiles, h, w, window, stride)
+    out = blend_windows(logit_tiles, h + ph, w + pw, window, stride)
+    return out[:h, :w] if (ph or pw) else out
 
 
 def make_tiled_batch_pipeline(cfg: ModelConfig, window: int = 512,
-                              overlap: int = 128, mesh=None,
+                              overlap=None, mesh=None,
                               device_postprocess=True):
     """jitted (params, u8 (B, H, W)) -> masks (B, H, W): sliding window over
     a BATCH of large tiles as ONE program.
@@ -166,11 +202,14 @@ def make_tiled_batch_pipeline(cfg: ModelConfig, window: int = 512,
     batching B tiles flattens all B*n windows into a single model batch —
     the same throughput lever as BASELINE config 2 — and vmaps the blend.
     With a mesh the flat window batch is sharded over ``dp``.
+    ``overlap=None`` means window/2.
     """
+    ov = _resolve_overlap(window, overlap)
 
     def pipeline(params, u8b):
         b, h, w = u8b.shape
-        stride = window - overlap
+        u8b, ph, pw = _pad_to_window(u8b, window)
+        stride = window - ov
         # extract on u8 (1-byte gathers), cast per window after: 4x less
         # gather traffic than windowing the f32 image
         tiles = jax.vmap(
@@ -186,7 +225,10 @@ def make_tiled_batch_pipeline(cfg: ModelConfig, window: int = 512,
         logit_flat = model_registry.apply(params, flat, cfg)
         logit_tiles = logit_flat.reshape(b, n, window, window, -1)
         logits = jax.vmap(
-            lambda lt: blend_windows(lt, h, w, window, stride))(logit_tiles)
+            lambda lt: blend_windows(lt, h + ph, w + pw, window, stride)
+        )(logit_tiles)
+        if ph or pw:
+            logits = logits[:, :h, :w]
         mask = decode.decode_mask(logits, cfg.num_classes)
         if device_postprocess:
             from unetseg_tpu.parallel.batch import _device_cc
@@ -199,19 +241,21 @@ def make_tiled_batch_pipeline(cfg: ModelConfig, window: int = 512,
 
 
 def make_tiled_pipeline(cfg: ModelConfig, window: int = 512,
-                        overlap: int = 128, mesh=None,
+                        overlap=None, mesh=None,
                         device_postprocess=True):
     """jitted (params, u8 (H,W)) -> mask (H,W) via sliding window.
 
     With a mesh, the window batch is sharded over ``dp`` (tiles ride ICI to
     their chips; the blend is a cheap replicated epilogue).
     ``device_postprocess=False`` stops at the argmax decode for the engine's
-    host-cleanup split.
+    host-cleanup split.  ``overlap=None`` means window/2.
     """
+    ov = _resolve_overlap(window, overlap)
 
     def pipeline(params, u8):
         h, w = u8.shape
-        stride = window - overlap
+        u8, ph, pw = _pad_to_window(u8, window)
+        stride = window - ov
         tiles = (extract_windows(u8, window, stride)[..., None]
                  .astype(jnp.float32) / 255.0)
         if mesh is not None:
@@ -221,7 +265,9 @@ def make_tiled_pipeline(cfg: ModelConfig, window: int = 512,
                 tiles, NamedSharding(mesh, P("dp"))
             )
         logit_tiles = model_registry.apply(params, tiles, cfg)
-        logits = blend_windows(logit_tiles, h, w, window, stride)
+        logits = blend_windows(logit_tiles, h + ph, w + pw, window, stride)
+        if ph or pw:
+            logits = logits[:h, :w]
         mask = decode.decode_mask(logits, cfg.num_classes)
         if device_postprocess:
             from unetseg_tpu.parallel.batch import _device_cc
