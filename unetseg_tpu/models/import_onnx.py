@@ -89,28 +89,47 @@ def _parse_tensor(buf: bytes):
     dtype = _FLOAT
     name = ""
     raw = None
-    floats = []
+    vals: List = []
     for field, wire, val in _fields(buf):
-        if field == 1 and wire == 0:
-            dims.append(val)
+        if field == 1:                   # dims (packed OR unpacked varints)
+            if wire == 0:
+                dims.append(val)
+            elif wire == 2:
+                pos = 0
+                while pos < len(val):
+                    d, pos = _read_varint(val, pos)
+                    dims.append(d)
         elif field == 2 and wire == 0:
             dtype = val
-        elif field == 4:
+        elif field == 4:                 # float_data
             if wire == 2:  # packed floats
-                floats.extend(struct.unpack(f"<{len(val)//4}f", val))
+                vals.extend(struct.unpack(f"<{len(val)//4}f", val))
             elif wire == 5:
-                floats.append(struct.unpack("<f", val)[0])
+                vals.append(struct.unpack("<f", val)[0])
+        elif field == 7:                 # int64_data (packed or unpacked)
+            if wire == 0:
+                vals.append(val)
+            elif wire == 2:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    vals.append(v)
         elif field == 8 and wire == 2:
             name = val.decode("utf-8")
         elif field == 9 and wire == 2:
             raw = val
+        elif field == 10:                # double_data
+            if wire == 2:
+                vals.extend(struct.unpack(f"<{len(val)//8}d", val))
+            elif wire == 1:
+                vals.append(struct.unpack("<d", val)[0])
     np_dtype = _DTYPES.get(dtype)
     if np_dtype is None:
         return name, None  # unsupported dtype: skip
     if raw is not None:
         arr = np.frombuffer(raw, dtype=np.dtype(np_dtype).newbyteorder("<"))
     else:
-        arr = np.asarray(floats, np_dtype)
+        arr = np.asarray(vals, np_dtype)
     return name, arr.reshape(dims).astype(np_dtype)
 
 
@@ -155,8 +174,12 @@ def _parse_attribute(buf: bytes):
     for f, wire, val in _fields(buf):
         if f == 1 and wire == 2:
             name = val.decode("utf-8")
+        elif f == 2 and wire == 5:       # f (float) — e.g. BN epsilon
+            value = struct.unpack("<f", val)[0]
         elif f == 3 and wire == 0:       # i
             value = val
+        elif f == 4 and wire == 2:       # s (bytes) — e.g. auto_pad
+            value = val.decode("utf-8", "replace")
         elif f == 5 and wire == 2:       # t (TensorProto)
             value = _parse_tensor(val)[1]
         elif f == 8:                     # ints (packed or unpacked)
@@ -249,8 +272,15 @@ def load_onnx(path: str) -> Tuple[dict, ModelConfig]:
         for i in n.inputs:
             consumers.setdefault(i, []).append(n)
 
-    def fold_bn_chain(node: _Node, conv: dict) -> dict:
-        """Follow node's output through Relu-free BN and fold it."""
+    def fold_bn_chain(node: _Node, conv: dict, out_axis: int) -> dict:
+        """Follow node's output through Relu-free BN and fold it.
+
+        ``out_axis`` is the OUTPUT-channel axis of the RAW weight layout at
+        this point in the walk: 0 for Conv (OIHW), 1 for ConvTranspose
+        (IOHW).  (import_torch.fold_batchnorm scales the LAST axis — HWIO —
+        and silently corrupted / crashed on these raw layouts; round-4
+        review finding, exercised by a real-BN-node graph in tests.)
+        """
         out = node.outputs[0]
         for c in consumers.get(out, []):
             if c.op == "BatchNormalization":
@@ -258,8 +288,59 @@ def load_onnx(path: str) -> Tuple[dict, ModelConfig]:
                                           for k in range(1, 5))
                 eps_attr = c.attrs.get("epsilon")
                 eps = 1e-5 if eps_attr is None else float(eps_attr)
-                return it.fold_batchnorm(conv, gamma, beta, mean, var, eps)
+                scale = gamma / np.sqrt(var + eps)
+                shape = [1] * conv["w"].ndim
+                shape[out_axis] = -1
+                return {"w": conv["w"] * scale.reshape(shape),
+                        "b": (conv["b"] - mean) * scale + beta}
         return conv
+
+    def _ints(v):
+        return list(v) if isinstance(v, (list, tuple)) else None
+
+    def _check_attrs(n: _Node) -> None:
+        """Reject graphs whose node semantics differ from the canonical
+        UNet family (3x3-SAME / 1x1 convs, 2x2/2 pools and up-convs) —
+        otherwise weights graft silently into a model with different
+        semantics (round-4 review finding)."""
+        a = n.attrs
+        if a.get("group") not in (None, 1):
+            raise ValueError(f"{n.op}: group={a['group']} unsupported")
+        dil = _ints(a.get("dilations"))
+        if dil and any(d != 1 for d in dil):
+            raise ValueError(f"{n.op}: dilations {dil} unsupported")
+        ks = _ints(a.get("kernel_shape"))
+        strides = _ints(a.get("strides"))
+        pads = _ints(a.get("pads"))
+        auto = a.get("auto_pad")
+        if n.op == "Conv":
+            if strides and any(s != 1 for s in strides):
+                raise ValueError(f"Conv: strides {strides} unsupported")
+            k = ks[0] if ks else _weight(n.inputs[1]).shape[2]
+            if ks and (len(ks) != 2 or ks[0] != ks[1] or k not in (1, 3)):
+                raise ValueError(f"Conv: kernel_shape {ks} unsupported "
+                                 "(UNet family is 3x3 / 1x1)")
+            same = (pads is None and auto in (None, "", "NOTSET")) or \
+                   (pads is not None and all(p == k // 2 for p in pads)) or \
+                   (auto in ("SAME_UPPER", "SAME_LOWER") and k % 2 == 1)
+            if not same:
+                raise ValueError(
+                    f"Conv: pads {pads} / auto_pad {auto!r} differ from the "
+                    f"family's SAME padding for k={k}")
+        elif n.op == "ConvTranspose":
+            if ks and ks != [2, 2]:
+                raise ValueError(f"ConvTranspose: kernel_shape {ks} != [2,2]")
+            if strides and strides != [2, 2]:
+                raise ValueError(f"ConvTranspose: strides {strides} != [2,2]")
+            if pads and any(p != 0 for p in pads):
+                raise ValueError(f"ConvTranspose: pads {pads} != 0")
+        elif n.op == "MaxPool":
+            if ks and ks != [2, 2]:
+                raise ValueError(f"MaxPool: kernel_shape {ks} != [2,2]")
+            if strides and strides != [2, 2]:
+                raise ValueError(f"MaxPool: strides {strides} != [2,2]")
+            if pads and any(p != 0 for p in pads):
+                raise ValueError(f"MaxPool: pads {pads} != 0")
 
     encoder: List[dict] = []   # list of {"conv1","conv2"} (raw OIHW dicts)
     decoder: List[dict] = []
@@ -272,9 +353,11 @@ def load_onnx(path: str) -> Tuple[dict, ModelConfig]:
         w = _weight(n.inputs[1])
         b = (_weight(n.inputs[2]) if len(n.inputs) > 2
              else np.zeros(w.shape[0], np.float32))
-        return fold_bn_chain(n, {"w": w, "b": b})
+        return fold_bn_chain(n, {"w": w, "b": b}, out_axis=0)  # OIHW
 
     for n in nodes:
+        if n.op in ("Conv", "ConvTranspose", "MaxPool"):
+            _check_attrs(n)
         if n.op == "Conv":
             pending.append(raw_conv(n))
         elif n.op == "MaxPool":
@@ -299,7 +382,8 @@ def load_onnx(path: str) -> Tuple[dict, ModelConfig]:
             w = _weight(n.inputs[1])
             b = (_weight(n.inputs[2]) if len(n.inputs) > 2
                  else np.zeros(w.shape[1], np.float32))
-            decoder_up = fold_bn_chain(n, {"w": w, "b": b})
+            decoder_up = fold_bn_chain(n, {"w": w, "b": b},
+                                       out_axis=1)  # IOHW
 
     if phase != "up" or bottleneck is None:
         raise ValueError("no ConvTranspose found — not a UNet-family graph")
@@ -367,17 +451,60 @@ def _ld(field: int, payload: bytes) -> bytes:
     return _varint((field << 3) | 2) + _varint(len(payload)) + payload
 
 
+def _tensor_bytes(name: str, arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr, np.float32)
+    t = bytearray()
+    for d in arr.shape:
+        t += _varint(8) + _varint(d)          # dims (field 1, varint)
+    t += _varint(16) + _varint(_FLOAT)        # data_type (field 2)
+    t += _ld(8, name.encode())                # name
+    t += _ld(9, arr.astype("<f4").tobytes())  # raw_data
+    return bytes(t)
+
+
 def write_onnx_initializers(path: str, tensors: Dict[str, np.ndarray]) -> None:
     """Write a minimal ModelProto holding only graph initializers."""
     graph = bytearray()
     for name, arr in tensors.items():
-        arr = np.ascontiguousarray(arr, np.float32)
-        t = bytearray()
-        for d in arr.shape:
-            t += _varint(8) + _varint(d)          # dims (field 1, varint)
-        t += _varint(16) + _varint(_FLOAT)        # data_type (field 2)
-        t += _ld(8, name.encode())                # name
-        t += _ld(9, arr.astype("<f4").tobytes())  # raw_data
-        graph += _ld(5, bytes(t))                 # initializer
+        graph += _ld(5, _tensor_bytes(name, arr))
+    with open(path, "wb") as f:
+        f.write(_ld(7, bytes(graph)))             # ModelProto.graph
+
+
+def write_onnx_graph(path: str, nodes, tensors: Dict[str, np.ndarray]) -> None:
+    """Write a ModelProto with nodes AND initializers (tests / tooling).
+
+    ``nodes`` is a sequence of ``(op_type, inputs, outputs, attrs)``; attr
+    values may be int, float, str, or a list of ints — exactly the subset
+    :func:`_parse_attribute` reads.  Exists mainly so tests can build graphs
+    the torch exporter will not (e.g. with a live BatchNormalization node —
+    the exporter pre-fuses Conv+BN, which is how the raw-layout BN-folding
+    bug stayed hidden; round-4 review finding)."""
+    graph = bytearray()
+    for op, inputs, outputs, attrs in nodes:
+        nb = bytearray()
+        for i in inputs:
+            nb += _ld(1, i.encode())
+        for o in outputs:
+            nb += _ld(2, o.encode())
+        nb += _ld(4, op.encode())
+        for aname, aval in (attrs or {}).items():
+            ab = bytearray()
+            ab += _ld(1, aname.encode())
+            if isinstance(aval, float):
+                ab += _varint((2 << 3) | 5) + struct.pack("<f", aval)
+            elif isinstance(aval, bool) or isinstance(aval, int):
+                ab += _varint((3 << 3) | 0) + _varint(int(aval))
+            elif isinstance(aval, str):
+                ab += _ld(4, aval.encode())
+            elif isinstance(aval, (list, tuple)):
+                for v in aval:
+                    ab += _varint((8 << 3) | 0) + _varint(int(v))
+            else:
+                raise TypeError(f"unsupported attr type for {aname!r}")
+            nb += _ld(5, bytes(ab))
+        graph += _ld(1, bytes(nb))                # GraphProto.node
+    for name, arr in tensors.items():
+        graph += _ld(5, _tensor_bytes(name, arr))
     with open(path, "wb") as f:
         f.write(_ld(7, bytes(graph)))             # ModelProto.graph

@@ -51,7 +51,9 @@ def boundary_band(mask: jax.Array, size: int = 3) -> jax.Array:
     dilate(fg) XOR erode(fg) with a ``size`` x ``size`` rect window — the rim
     band whose pixel-level decisions move fg-IoU.  (..., H, W) -> bool.
     """
-    fg = mask >= 2  # FOREGROUND_VALUE, reference src/postprocess.cpp:5
+    # equality, not >=: at num_classes > 3 only class 2 is the reference's
+    # foreground (src/postprocess.cpp:5-7); >= silently banded extra classes
+    fg = mask == 2  # FOREGROUND_VALUE
     return morphology.dilate(fg, size) ^ morphology.erode(fg, size)
 
 

@@ -10,15 +10,18 @@ loop (``/root/reference/src/main.cpp:148-164``):
 JAX dispatch is asynchronous, so stage B for batch k+1 overlaps stage C for
 batch k automatically; the loader pool keeps stage A ahead.  This is the
 host/device double-buffering analog of the reference's cudaMemcpyAsync
-streams (src/process.cpp:143-155), with XLA donation reusing device buffers.
+streams (src/process.cpp:143-155).  (The device stage does NOT donate its
+input buffers — each batch is a fresh loader-thread device_put, so there is
+nothing to reuse; the engine's AOT serving path is where donation lives.)
 """
 
 from __future__ import annotations
 
 import functools
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -38,7 +41,6 @@ class StudyResult:
     slices_per_sec: float
     inference_s: float
     masks: Optional[np.ndarray] = None
-    per_slice_latency_s: List[float] = field(default_factory=list)
 
 
 def prefetch_map(pool, fn, items, depth: int):
@@ -84,8 +86,6 @@ def _load_batch(paths: Sequence[str], width: int, height: int,
     D2H round trip): -> (host, device)."""
     raws = [np.asarray(raw_io.read_raw(p, width, height)) for p in paths]
     if to_u8_size is not None:
-        from unetseg_tpu.io import native
-
         out = np.stack([native.preprocess_u8(r, to_u8_size) for r in raws])
     else:
         out = np.stack(raws)
@@ -193,8 +193,12 @@ def run_study(
         tier = {"json": native.TIER_JSON,
                 "mask_json": native.TIER_MASK_JSON,
                 "full": native.TIER_FULL}[artifacts]
-        import os
-
+        if not native.emit_slice_available():
+            # fail BEFORE the study runs, not in an emitter future after
+            # minutes of device work produced zero artifacts
+            raise RuntimeError(
+                "artifact emission requires libunetseg_host.so with the "
+                "emit entry points (make -C csrc)")
         os.makedirs(out_dir, exist_ok=True)
     # host_preprocess: run the bit-exact C++ resample+quantize in the loader
     # threads and ship u8 — halves H2D bytes (2x study throughput where the
@@ -229,8 +233,6 @@ def run_study(
         return _load_batch([slice_paths[k] for k in idxs], width, height,
                            size if host_preprocess else None,
                            batch_size, True, keep_host=tier is not None)
-
-    import os
 
     with ThreadPoolExecutor(max_workers=loader_threads) as loaders, \
             ThreadPoolExecutor(max_workers=emitter_threads) as emitters:
