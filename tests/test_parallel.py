@@ -394,3 +394,28 @@ def test_tiles_invalid_overlap_rejected():
             tiles.make_tiled_pipeline(SMALL, window=64, overlap=bad)
         with pytest.raises(ValueError):
             tiles.make_tiled_batch_pipeline(SMALL, window=64, overlap=bad)
+
+
+def test_sharded_distill_step_with_boundary_boost():
+    """make_sharded_train_step(distill=True, boundary_boost=...) — the
+    shipped checkpoint's actual recipe through the sharded path (round-4
+    review: only the plain step was previously reachable here)."""
+    cfg = ModelConfig(base_channels=4, depth=2, image_size=32,
+                      compute_dtype="float32")
+    mesh = pmesh.make_mesh(8, sp=2)
+    tx = train.make_optimizer(lr=1e-2, total_steps=50)
+    state = train.init_state(jax.random.key(0), cfg, tx)
+    step = train.make_sharded_train_step(cfg, mesh, tx, distill=True,
+                                         boundary_boost=3.0)
+
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.random((8, 32, 32, 1)).astype(np.float32))
+    labels = jnp.asarray((rng.random((8, 32, 32)) > 0.5).astype(np.int32) * 2)
+    t_logits = jnp.asarray(rng.random((8, 32, 32, 3)).astype(np.float32))
+
+    losses = []
+    for _ in range(4):
+        state, loss = step(state, (imgs, labels, t_logits))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]

@@ -16,7 +16,7 @@ from unetseg_tpu.models import unet
 from unetseg_tpu.ops import decode
 
 
-@pytest.mark.parametrize("stem", [1, 2])
+@pytest.mark.parametrize("stem", [1, 2, 4])  # 4 = the shipped slim4 geometry
 def test_numpy_forward_matches_jax_f32(stem):
     cfg = ModelConfig(base_channels=8, depth=2, image_size=64,
                       compute_dtype="float32", stem=stem)

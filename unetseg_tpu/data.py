@@ -120,7 +120,10 @@ def synth_slice_shifted(rng: np.random.Generator, size: int = 512,
     if kind == "illum":
         gx, gy = rng.uniform(-1, 1, 2)
         ramp = (gx * (xx / size - 0.5) + gy * (yy / size - 0.5))
-        img *= 1.0 + 0.35 * ramp                       # ±17.5% shading
+        # ramp ∈ [-1, 1] when both gradient components max out (corner of a
+        # diagonal gradient), so shading reaches ±35%; a single-axis
+        # gradient tops out at ±17.5%
+        img *= 1.0 + 0.35 * ramp
         streaks = rng.normal(0, 2500, (size, 1)) * np.ones((1, size))
         img += streaks                                  # row-correlated noise
     img = np.clip(img, 0, 65535).astype(np.uint16)
@@ -131,18 +134,26 @@ def synth_slice_shifted(rng: np.random.Generator, size: int = 512,
     return img, labels
 
 
-def training_batch(rng: np.random.Generator, n: int, size: int = 512):
+def training_batch(rng: np.random.Generator, n: int, size: int = 512,
+                   r_range: Tuple[float, float] = (0.12, 0.3),
+                   slice_fn=None):
     """Model-ready (imgs (n,s,s,1) f32 in [0,1], labels (n,s,s) i32).
 
     Applies the same per-slice min-max + u8 quantize + /255 normalization the
     inference pipeline uses, so train and serve distributions match.
+    ``r_range`` forwards to :func:`synth_slice` (training sweeps widen it for
+    worst-slice coverage); ``slice_fn(rng) -> (raw_u16, labels)`` swaps the
+    generator entirely (e.g. a shifted family) while keeping the
+    serve-matched normalization — the loop the training scripts previously
+    each re-implemented.
     """
     from unetseg_tpu.ops.preprocess import preprocess_oracle_u8
 
     imgs = np.empty((n, size, size, 1), np.float32)
     labels = np.empty((n, size, size), np.int32)
     for i in range(n):
-        raw, lab = synth_slice(rng, size)
+        raw, lab = (slice_fn(rng) if slice_fn is not None
+                    else synth_slice(rng, size, r_range=r_range))
         u8 = preprocess_oracle_u8(raw, size)  # same-size: pure quantize
         imgs[i, ..., 0] = u8.astype(np.float32) / 255.0
         labels[i] = lab

@@ -100,6 +100,15 @@ def segmentation_loss(params, batch: Tuple[jax.Array, jax.Array],
     return ce + dice
 
 
+def _apply_grads(state: TrainState, tx: optax.GradientTransformation,
+                 loss: jax.Array, grads) -> Tuple[TrainState, jax.Array]:
+    """The shared grad->update->apply sequence of train_step/distill_step —
+    one place, so update-semantics changes cannot diverge the two paths."""
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
 def train_step(state: TrainState, batch, cfg: ModelConfig,
                tx: optax.GradientTransformation, *,
                boundary_boost: float = 0.0
@@ -107,9 +116,7 @@ def train_step(state: TrainState, batch, cfg: ModelConfig,
     loss, grads = jax.value_and_grad(segmentation_loss)(
         state.params, batch, cfg, boundary_boost=boundary_boost
     )
-    updates, opt_state = tx.update(grads, state.opt_state, state.params)
-    params = optax.apply_updates(state.params, updates)
-    return TrainState(params, opt_state, state.step + 1), loss
+    return _apply_grads(state, tx, loss, grads)
 
 
 # ---------------------------------------------------------------------------
@@ -153,9 +160,7 @@ def distill_step(state: TrainState, batch, cfg: ModelConfig,
         state.params, batch, cfg, alpha=alpha, temperature=temperature,
         boundary_boost=boundary_boost
     )
-    updates, opt_state = tx.update(grads, state.opt_state, state.params)
-    params = optax.apply_updates(state.params, updates)
-    return TrainState(params, opt_state, state.step + 1), loss
+    return _apply_grads(state, tx, loss, grads)
 
 
 def init_state(rng: jax.Array, cfg: ModelConfig,
@@ -165,20 +170,38 @@ def init_state(rng: jax.Array, cfg: ModelConfig,
 
 
 def make_sharded_train_step(cfg: ModelConfig, mesh: Mesh,
-                            tx: optax.GradientTransformation):
+                            tx: optax.GradientTransformation, *,
+                            boundary_boost: float = 0.0,
+                            distill: bool = False,
+                            alpha: float = 0.5,
+                            temperature: float = 2.0):
     """Jit the train step with real multi-chip shardings over (dp, sp).
 
     Inputs: imgs (N, H, W, C) sharded P('dp','sp'); labels (N, H, W) sharded
     P('dp','sp'); state replicated.  XLA inserts the grad all-reduce and the
     conv halo exchanges.
+
+    ``boundary_boost`` and ``distill=True`` (batch then also carries
+    teacher_logits, sharded like imgs) plumb the shipped checkpoint's actual
+    recipe through the sharded path — previously only the plain un-boosted
+    step was reachable here, so multi-chip boundary-weighted/distillation
+    runs had to hand-roll their jit (round-4 review finding).
     """
     repl = NamedSharding(mesh, P())
     img_s = NamedSharding(mesh, P("dp", "sp"))
 
-    step = functools.partial(train_step, cfg=cfg, tx=tx)
+    if distill:
+        step = functools.partial(distill_step, cfg=cfg, tx=tx, alpha=alpha,
+                                 temperature=temperature,
+                                 boundary_boost=boundary_boost)
+        batch_s = (img_s, img_s, img_s)
+    else:
+        step = functools.partial(train_step, cfg=cfg, tx=tx,
+                                 boundary_boost=boundary_boost)
+        batch_s = (img_s, img_s)
     return jax.jit(
         step,
-        in_shardings=(repl, (img_s, img_s)),
+        in_shardings=(repl, batch_s),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
