@@ -444,3 +444,29 @@ def test_cli_cascade_both_margin_threshold_arg(monkeypatch):
     assert calls["cascade_router"] == "both"
     assert calls["cascade_threshold"] == 32.0
     assert calls["cascade_margin_threshold"] == 0.7
+
+
+def test_failed_cascade_reinit_leaves_no_half_engine(tmp_path):
+    """A re-init whose cascade checkpoint is missing must not leave a live
+    cascade-less engine serving (round-4 review: the global was published
+    before cascade validation)."""
+    cache = tmp_path / "m.ckpt"
+    checkpoint.create(str(cache), SMALL, seed=0)
+    fb = tmp_path / "fb.ckpt"
+    checkpoint.create(str(fb), BIG, seed=1)
+    try:
+        assert engine.initialize_engine(str(cache), cascade_ckpt=str(fb))
+        assert engine.get_engine() is not None
+        # re-init with a MISSING cascade -> False, and nothing servable
+        assert not engine.initialize_engine(
+            str(cache), cascade_ckpt=str(tmp_path / "nope.ckpt"))
+        assert engine.get_engine() is None
+        rng = np.random.default_rng(0)
+        from unetseg_tpu.io import raw as raw_io
+
+        p = tmp_path / "x.raw"
+        raw_io.write_raw(str(p), rng.integers(0, 65536, (64, 64), np.uint16))
+        assert not engine.process_single_image(str(p), 64, 64,
+                                               str(tmp_path / "o"))
+    finally:
+        engine.cleanup_resources()

@@ -56,7 +56,22 @@ def load(path: str) -> Tuple[dict, ModelConfig]:
             raise ValueError(f"Not a unetseg_tpu checkpoint: {path}")
         blob = f.read()
     data = serialization.msgpack_restore(blob)
-    cfg = ModelConfig(**data["config"])
+    # Same-magic forward compatibility: config fields are added without a
+    # MAGIC bump (stem/arch/deep_supervision all were), so a checkpoint
+    # from a build with an extra field must not die in a raw TypeError —
+    # drop unknown keys with a warning instead (round-4 review finding).
+    import dataclasses
+
+    known = {f.name for f in dataclasses.fields(ModelConfig)}
+    raw_cfg = dict(data["config"])
+    extra = sorted(set(raw_cfg) - known)
+    if extra:
+        import warnings
+
+        warnings.warn(
+            f"checkpoint {path} carries unknown config fields {extra} "
+            f"(written by a newer build?) — ignoring them", stacklevel=2)
+    cfg = ModelConfig(**{k: v for k, v in raw_cfg.items() if k in known})
     return data["params"], cfg
 
 

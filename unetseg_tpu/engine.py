@@ -99,14 +99,31 @@ class InferenceEngine:
         (ops/postprocess.py) exists and is oracle-verified, but the engine
         overlaps host cleanup with the next batch's device work instead.
         """
-        if self._use_fused():
+        _, mask = self._mask_from_u8(params, u8_batch, need_logits=False)
+        return self._maybe_device_post(mask)
+
+    def _logits_and_mask(self, params, u8_batch, cfg=None):
+        """normalize -> apply -> decode for (params, cfg); the single copy
+        of the body the serving/cascade/fallback pipelines previously each
+        duplicated (round-4 review finding)."""
+        cfg = cfg or self.cfg
+        x = preprocess.model_input_from_u8(u8_batch)[..., None]
+        logits = model_registry.apply(params, x, cfg)
+        return logits, decode.decode_mask(logits, cfg.num_classes)
+
+    def _mask_from_u8(self, params, u8_batch, need_logits: bool):
+        """Primary-student forward honoring the fused-kernel opt-in.
+
+        The fused path emits masks only; callers that need logits (margin
+        routers) take the standard path."""
+        if self._use_fused() and not need_logits:
             from unetseg_tpu.models import unet_fused
 
-            mask = unet_fused.apply_fused_mask(params, u8_batch, self.cfg)
-        else:
-            x = preprocess.model_input_from_u8(u8_batch)[..., None]
-            logits = model_registry.apply(params, x, self.cfg)
-            mask = decode.decode_mask(logits, self.cfg.num_classes)
+            return None, unet_fused.apply_fused_mask(
+                params, u8_batch, self.cfg)
+        return self._logits_and_mask(params, u8_batch)
+
+    def _maybe_device_post(self, mask):
         if self.device_postprocess:
             from unetseg_tpu.ops import postprocess as device_post
 
@@ -269,16 +286,16 @@ class InferenceEngine:
         """_pipeline + per-slice boundary-margin confidence (one program)."""
         from unetseg_tpu.ops import confidence
 
-        x = preprocess.model_input_from_u8(u8_batch)[..., None]
-        logits = model_registry.apply(params, x, self.cfg)
-        mask = decode.decode_mask(logits, self.cfg.num_classes)
+        logits, mask = self._logits_and_mask(params, u8_batch)
         conf = confidence.boundary_margin(logits, mask)
-        if self.device_postprocess:
-            from unetseg_tpu.ops import postprocess as device_post
+        return self._maybe_device_post(mask), conf
 
-            on_tpu = jax.devices()[0].platform == "tpu"
-            mask = device_post.postprocess_masks(mask, use_pallas_cc=on_tpu)
-        return mask, conf
+    def _disagreement(self, mask, co_params, u8_batch):
+        """Pixel-disagreement count vs the co-model, per slice."""
+        _, co_mask = self._logits_and_mask(co_params, u8_batch,
+                                           cfg=self._cascade_co_cfg)
+        return jnp.sum((mask != co_mask).reshape(mask.shape[0], -1),
+                       axis=1).astype(jnp.float32)
 
     def _pipeline_disagree(self, params, co_params, u8_batch):
         """_pipeline + per-slice pixel disagreement vs the co-model.
@@ -287,20 +304,9 @@ class InferenceEngine:
         count of pixels where their argmax masks differ.  The co-model's
         mask is only a signal — the emitted mask is the primary student's.
         """
-        x = preprocess.model_input_from_u8(u8_batch)[..., None]
-        mask = decode.decode_mask(
-            model_registry.apply(params, x, self.cfg), self.cfg.num_classes)
-        co_mask = decode.decode_mask(
-            model_registry.apply(co_params, x, self._cascade_co_cfg),
-            self._cascade_co_cfg.num_classes)
-        d = jnp.sum((mask != co_mask).reshape(mask.shape[0], -1),
-                    axis=1).astype(jnp.float32)
-        if self.device_postprocess:
-            from unetseg_tpu.ops import postprocess as device_post
-
-            on_tpu = jax.devices()[0].platform == "tpu"
-            mask = device_post.postprocess_masks(mask, use_pallas_cc=on_tpu)
-        return mask, d
+        _, mask = self._mask_from_u8(params, u8_batch, need_logits=False)
+        d = self._disagreement(mask, co_params, u8_batch)
+        return self._maybe_device_post(mask), d
 
     def _pipeline_both(self, params, co_params, u8_batch):
         """_pipeline + BOTH router statistics in one XLA program.
@@ -312,21 +318,10 @@ class InferenceEngine:
         """
         from unetseg_tpu.ops import confidence
 
-        x = preprocess.model_input_from_u8(u8_batch)[..., None]
-        logits = model_registry.apply(params, x, self.cfg)
-        mask = decode.decode_mask(logits, self.cfg.num_classes)
+        logits, mask = self._logits_and_mask(params, u8_batch)
         margin = confidence.boundary_margin(logits, mask)
-        co_mask = decode.decode_mask(
-            model_registry.apply(co_params, x, self._cascade_co_cfg),
-            self._cascade_co_cfg.num_classes)
-        d = jnp.sum((mask != co_mask).reshape(mask.shape[0], -1),
-                    axis=1).astype(jnp.float32)
-        if self.device_postprocess:
-            from unetseg_tpu.ops import postprocess as device_post
-
-            on_tpu = jax.devices()[0].platform == "tpu"
-            mask = device_post.postprocess_masks(mask, use_pallas_cc=on_tpu)
-        return mask, margin, d
+        d = self._disagreement(mask, co_params, u8_batch)
+        return self._maybe_device_post(mask), margin, d
 
     def _cascade_fallback(self, bucket: int):
         """AOT fallback-model executable for a padded subset batch."""
@@ -335,16 +330,8 @@ class InferenceEngine:
             cfg = self._cascade_cfg
 
             def fb(params, u8_batch):
-                x = preprocess.model_input_from_u8(u8_batch)[..., None]
-                logits = model_registry.apply(params, x, cfg)
-                mask = decode.decode_mask(logits, cfg.num_classes)
-                if self.device_postprocess:
-                    from unetseg_tpu.ops import postprocess as device_post
-
-                    on_tpu = jax.devices()[0].platform == "tpu"
-                    mask = device_post.postprocess_masks(
-                        mask, use_pallas_cc=on_tpu)
-                return mask
+                _, mask = self._logits_and_mask(params, u8_batch, cfg=cfg)
+                return self._maybe_device_post(mask)
 
             shape = jax.ShapeDtypeStruct((bucket, self.size, self.size),
                                          jnp.uint8)
@@ -385,7 +372,8 @@ class InferenceEngine:
         self._cascade_router_exec(n)
         self._cascade_fallback(1)  # the single-image route bucket
 
-    def infer_cascade(self, u8_batch: np.ndarray
+    def infer_cascade(self, u8_batch: np.ndarray,
+                      n_valid: Optional[int] = None
                       ) -> Tuple[np.ndarray, np.ndarray, int]:
         """Student pass + margin-routed fallback re-runs.
 
@@ -394,11 +382,16 @@ class InferenceEngine:
         ``confidences`` is the router statistic: boundary margin for
         ``router="margin"``, pixel-disagreement count for ``"disagree"``
         and ``"both"`` (the union router's margin term is internal).
+        ``n_valid`` restricts ROUTING to the first n rows — padded
+        tail-repeat rows otherwise route with their source slice,
+        multiplying fallback work and inflating cascade_routed telemetry
+        by up to bucket-1 copies (round-4 review finding).
         Requires :meth:`attach_cascade`.
         """
         if getattr(self, "_cascade_params", None) is None:
             raise RuntimeError("attach_cascade first")
         n = u8_batch.shape[0]
+        n_valid = n if n_valid is None else min(int(n_valid), n)
         u8 = np.asarray(u8_batch)
         exe = self._cascade_router_exec(n)
         if self.cascade_router == "disagree":
@@ -414,15 +407,16 @@ class InferenceEngine:
         # np.array (owned copy): the routed rows are spliced in place below,
         # and np.asarray of a jax.Array is a read-only view.
         masks, conf = np.array(mask_d), np.asarray(conf_d)
+        cv = conf[:n_valid]
         if self.cascade_router == "disagree":
-            routed = np.nonzero(conf > self.cascade_threshold)[0]
+            routed = np.nonzero(cv > self.cascade_threshold)[0]
         elif self.cascade_router == "both":
-            margin = np.asarray(margin_d)
+            margin = np.asarray(margin_d)[:n_valid]
             routed = np.nonzero(
-                (conf > self.cascade_threshold)
+                (cv > self.cascade_threshold)
                 | (margin < self.cascade_margin_threshold))[0]
         else:
-            routed = np.nonzero(conf < self.cascade_threshold)[0]
+            routed = np.nonzero(cv < self.cascade_threshold)[0]
         if routed.size:
             bucket = 1 << (int(routed.size) - 1).bit_length()
             bucket = min(bucket, n)
@@ -474,17 +468,23 @@ class InferenceEngine:
         return fn(self.params, self._put(u8_2d))
 
     def infer_tiled(self, u8_2d: np.ndarray, window: int,
-                    overlap: int) -> jax.Array:
+                    overlap: Optional[int] = None) -> jax.Array:
         """Sliding-window inference at native resolution (BASELINE config 3).
 
         The window is aligned down to a multiple of ``stem * 2**depth`` (the
-        UNet's pool/stem divisibility requirement — an unaligned window
+        UNet's pool/pipeline divisibility requirement — an unaligned window
         breaks the skip-concat shapes); images smaller than one aligned
-        window are edge-padded for the pass and the mask cropped back."""
+        window are edge-padded for the pass and the mask cropped back.
+        ``overlap=None`` means window/2 of the ALIGNED window — computing
+        the default from the user's pre-clamp window could degenerate to
+        stride-1 tiling (~20x work) or an irregular grid that misses the
+        overlap-add fast blend (round-4 review finding)."""
         h, w = u8_2d.shape
         align = self.cfg.stem * (2 ** self.cfg.depth)
         window = min(window, h, w)   # window larger than the image: one tile
         window = max(align, window - window % align)
+        if overlap is None:
+            overlap = window // 2
         overlap = min(overlap, window - 1) if window > 1 else 0
         pad_h = max(0, window - h)
         pad_w = max(0, window - w)
@@ -579,11 +579,17 @@ def initialize_engine(cache_path: str, log_dir: Optional[str] = None,
             pass  # cache is an optimization, never fatal
 
         params, cfg = checkpoint.load(cache_path)
-        _engine = InferenceEngine(params, cfg, device_postprocess)
+        # Build into a LOCAL first: publishing the global before cascade
+        # validation/warm-up left a live engine serving WITHOUT the
+        # requested cascade after a failed re-init (round-4 review finding).
+        # Any failure below leaves _engine = None (the reference's failed
+        # init likewise leaves nothing servable).
+        eng = InferenceEngine(params, cfg, device_postprocess)
         if cascade_ckpt:
             if not os.path.exists(cascade_ckpt):
                 GLOBAL_LOG.write(
                     f"Error: cascade checkpoint not found - {cascade_ckpt}")
+                _engine = None
                 return False
             fb_params, fb_cfg = checkpoint.load(cascade_ckpt)
             co_params = co_cfg = None
@@ -592,26 +598,28 @@ def initialize_engine(cache_path: str, log_dir: Optional[str] = None,
                     GLOBAL_LOG.write(
                         f"Error: {cascade_router} router needs "
                         f"cascade_co_ckpt - {cascade_co_ckpt}")
+                    _engine = None
                     return False
                 co_params, co_cfg = checkpoint.load(cascade_co_ckpt)
-            _engine.attach_cascade(fb_params, fb_cfg, cascade_threshold,
-                                   router=cascade_router,
-                                   co_params=co_params, co_cfg=co_cfg,
-                                   margin_threshold=cascade_margin_threshold)
+            eng.attach_cascade(fb_params, fb_cfg, cascade_threshold,
+                               router=cascade_router,
+                               co_params=co_params, co_cfg=co_cfg,
+                               margin_threshold=cascade_margin_threshold)
             GLOBAL_LOG.write(
                 f"Cascade fallback attached: {cascade_ckpt} "
                 f"(router {cascade_router}, threshold {cascade_threshold}"
                 + (f", margin_threshold {cascade_margin_threshold}"
                    if cascade_router == "both" else "") + ")")
         t0 = time.perf_counter()
-        _engine.compile(1)
+        eng.compile(1)
         if cascade_ckpt:
             # with a cascade attached, process_single_image serves through
             # the fused router program, not the plain batch-1 executable —
             # warm THAT path up too (plus the route bucket) so the first
             # request pays no lazy compile.
-            _engine.compile_cascade(1)
+            eng.compile_cascade(1)
         compile_ms = int((time.perf_counter() - t0) * 1000)
+        _engine = eng
 
         size = cfg.image_size
         GLOBAL_LOG.write("Engine initialized successfully")
@@ -627,6 +635,7 @@ def initialize_engine(cache_path: str, log_dir: Optional[str] = None,
         print(f"Initialization error: {e}")
         if GLOBAL_LOG.is_open():
             GLOBAL_LOG.write(f"Initialization error: {e}")
+        _engine = None  # never leave a half-initialized engine servable
         return False
 
 
@@ -821,8 +830,9 @@ def process_single_image(raw_path: str, width: int, height: int,
         # --- inference (one XLA program) + host mask cleanup ---------------
         t_inf = time.perf_counter()
         if window is not None:
-            ov = overlap if overlap is not None else window // 2
-            mask = np.asarray(eng.infer_tiled(u8, window, ov))
+            # overlap=None passes through: infer_tiled owns the window/2
+            # default AFTER clamping/alignment
+            mask = np.asarray(eng.infer_tiled(u8, window, overlap))
         elif tta:
             mask = np.asarray(eng.infer_tta(u8))
         elif getattr(eng, "_cascade_params", None) is not None:
@@ -841,7 +851,7 @@ def process_single_image(raw_path: str, width: int, height: int,
         mask = eng.cleanup_masks(mask)
 
         # --- mask artifact (LUT vis; src/process.cpp:178-185,234-239) -----
-        vis = np.asarray(decode.mask_to_image(mask))
+        vis = decode.mask_to_image_np(mask)  # host LUT: no device dispatch
         png.write_png(mask_png, vis, compression=0)
 
         # --- polygonize (host native; src/process.cpp:242) ----------------
@@ -941,7 +951,7 @@ def process_batch(raw_paths: List[str], width: int, height: int,
                 with open(os.path.join(out_dir, base + "_original_sizes.json"), "wb") as f:
                     f.write(native.size_json_bytes(
                         os.path.basename(path), width, height, eng.size, eng.size))
-                vis = np.asarray(decode.mask_to_image(masks[k]))
+                vis = decode.mask_to_image_np(masks[k])
                 if tier in ("full", "mask_json"):
                     png.write_png(os.path.join(out_dir, base + "_mask.png"),
                                   vis, compression=0)
@@ -996,7 +1006,8 @@ def process_batch(raw_paths: List[str], width: int, height: int,
                 # path synchronizes per batch (the routing decision is a
                 # host branch), trading the async overlap for the stronger
                 # model's worst-slice floor.
-                masks, _conf, n_routed = eng.infer_cascade(u8s)
+                masks, _conf, n_routed = eng.infer_cascade(
+                    u8s, n_valid=len(chunk))
                 GLOBAL_LOG.record(
                     event="batch", n=len(chunk), cascade_routed=n_routed,
                     dispatch_ms=round((time.perf_counter() - t_inf) * 1e3, 3),

@@ -186,7 +186,16 @@ def postprocess_batch(masks: np.ndarray) -> np.ndarray:
 
         from unetseg_tpu.ops.postprocess import postprocess_mask
 
-        with jax.default_device(jax.devices("cpu")[0]):
+        # Prefer the CPU backend for this tiny host-side cleanup, but fall
+        # back to whatever backend exists: under JAX_PLATFORMS=axon (the
+        # production env) jax.devices("cpu") RAISES, which turned this
+        # documented graceful-degradation path into a crash (round-4
+        # review finding).
+        try:
+            dev = jax.devices("cpu")[0]
+        except RuntimeError:
+            dev = jax.devices()[0]
+        with jax.default_device(dev):
             out = np.asarray(jax.vmap(postprocess_mask)(m))
     else:
         out = np.empty_like(m)

@@ -139,8 +139,11 @@ def init(rng: jax.Array, cfg: ModelConfig = ModelConfig()) -> Params:
     """Build the UNet parameter pytree (float32)."""
     chans = stage_channels(cfg)
     bottleneck = cfg.base_channels * (2**cfg.depth)
-    n_keys = 4 * cfg.depth + 2 + 1  # enc convs + dec(up+convs) + bottleneck + head
-    keys = iter(jax.random.split(rng, n_keys * 2))
+    # enc 2/stage + bottleneck 2 + dec 3/stage (up+conv1+conv2) + head 1
+    # (the old formula undercounted and papered over it with a *2 split —
+    # a "simplification" dropping the *2 would have StopIteration'd)
+    n_keys = 5 * cfg.depth + 3
+    keys = iter(jax.random.split(rng, n_keys))
 
     params: Params = {"encoder": [], "decoder": []}
     cin = cfg.in_channels * cfg.stem * cfg.stem

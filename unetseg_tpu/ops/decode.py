@@ -29,3 +29,23 @@ def mask_to_image(mask: jax.Array) -> jax.Array:
     """Visualization LUT 0->0, 1->128, 2->255 (src/process.cpp:178-185)."""
     lut = jnp.zeros((256,), jnp.uint8).at[1].set(128).at[2].set(255)
     return lut[mask.astype(jnp.int32)]
+
+
+_LUT_NP = None
+
+
+def mask_to_image_np(mask) -> "np.ndarray":
+    """Host twin of :func:`mask_to_image` — pure NumPy.
+
+    The engine's artifact loops run on HOST masks; routing them through the
+    jnp LUT dispatched one device op + D2H sync per slice (~28 ms each
+    through a tunneled backend), serializing against the inference stream
+    (round-4 review finding)."""
+    import numpy as np
+
+    global _LUT_NP
+    if _LUT_NP is None:
+        lut = np.zeros(256, np.uint8)
+        lut[1], lut[2] = 128, 255
+        _LUT_NP = lut
+    return _LUT_NP[np.asarray(mask, np.uint8)]
