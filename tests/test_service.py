@@ -312,3 +312,37 @@ def test_service_partitioned_concurrent_clients(tmp_path):
     finally:
         s.stop()
     assert s._engines == []  # stop() drained the pool
+
+
+def test_service_rejects_silently_dropped_fields(svc):
+    """Fields only one path type honors must error, not drop (round-4
+    review: directory + tta:true produced un-TTA'd masks with ok:true)."""
+    s, addr, tmp_path = svc
+    cache = _setup_data(tmp_path, n=1)
+    assert service.request(addr, {"cmd": "init", "cache": cache})["ok"]
+
+    r = service.request(addr, {
+        "cmd": "process", "path": str(tmp_path / "data"),
+        "width": 90, "height": 70, "output_dir": str(tmp_path / "o"),
+        "tta": True})
+    assert not r["ok"] and "tta" in r["error"]
+
+    r = service.request(addr, {
+        "cmd": "process", "path": str(tmp_path / "data" / "s0.raw"),
+        "width": 90, "height": 70, "output_dir": str(tmp_path / "o"),
+        "tier": "json"})
+    assert not r["ok"] and "directory" in r["error"]
+
+    # invalid timeout_s: immediate error, no orphan worker
+    r = service.request(addr, {
+        "cmd": "process", "path": str(tmp_path / "data" / "s0.raw"),
+        "width": 90, "height": 70, "output_dir": str(tmp_path / "o"),
+        "timeout_s": "abc"})
+    assert not r["ok"] and "timeout_s" in r["error"]
+
+    # the valid forms still work
+    r = service.request(addr, {
+        "cmd": "process", "path": str(tmp_path / "data"),
+        "width": 90, "height": 70, "output_dir": str(tmp_path / "o2"),
+        "tier": "json"})
+    assert r["ok"]

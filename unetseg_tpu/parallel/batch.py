@@ -9,7 +9,6 @@ all), and each chip runs batch/n_dp slices.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -33,12 +33,20 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     Returns True if a multi-process runtime was initialized, False for
     single-process (no-op, like the reference's whole existence).
     """
+    # Honor the documented env-var interface: the old code computed `num`
+    # from the env and then DISCARDED it (and never read the coordinator/
+    # process-id vars at all), so env-configured multi-host init silently
+    # fell through to autodetection (round-4 review finding).
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     num = num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1"))
     if num <= 1 and coordinator_address is None:
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=num_processes,
+        num_processes=num_processes if num_processes is not None else num,
         process_id=process_id,
     )
     return True

@@ -41,16 +41,6 @@ def dihedral_inverse(img: jax.Array, k: int) -> jax.Array:
     return jnp.rot90(img, -(k % 4), axes=(0, 1))
 
 
-def tta_logits(params, img_f32: jax.Array, cfg: ModelConfig) -> jax.Array:
-    """(H, W) float in [0,1] -> (H, W, C) ensemble-mean logits."""
-    batch = jnp.stack([dihedral(img_f32, k) for k in range(N_TRANSFORMS)])
-    logits = model_registry.apply(params, batch[..., None], cfg)
-    undone = jnp.stack(
-        [dihedral_inverse(logits[k], k) for k in range(N_TRANSFORMS)]
-    )
-    return jnp.mean(undone, axis=0)
-
-
 def _kernel_dihedral_inv(w, k: int):
     """Inverse dihedral on a HWIO kernel's spatial dims (the exact conv /
     conv_transpose equivariance partner of :func:`dihedral` on NHWC

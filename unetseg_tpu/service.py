@@ -185,6 +185,14 @@ class SegmentationService:
         timeout = req.get("timeout_s", self._request_timeout_s)
         if timeout is None:
             return fn(req)
+        try:
+            # parse BEFORE starting the worker: a malformed value used to
+            # raise at join(), orphaning an uncounted zombie thread that
+            # bypassed the max_detached cap (round-4 review finding)
+            timeout = float(timeout)
+        except (TypeError, ValueError):
+            return {"ok": False,
+                    "error": f"invalid timeout_s: {req.get('timeout_s')!r}"}
         with self._count_lock:
             if self._detached >= self.max_detached:
                 return {"ok": False,
@@ -207,7 +215,7 @@ class SegmentationService:
 
         t = threading.Thread(target=run, daemon=True)
         t.start()
-        t.join(float(timeout))
+        t.join(timeout)
         if t.is_alive():
             with self._count_lock:
                 # re-check under the lock: run() may have finished since
@@ -224,16 +232,23 @@ class SegmentationService:
         """Tail of the structured timings log (timings.jsonl)."""
         from unetseg_tpu.utils.logger import GLOBAL_LOG
 
-        from collections import deque
-
         n = int(req.get("n", 20))
         path = GLOBAL_LOG.jsonl_path
         if not path or not os.path.exists(path):
             return {"ok": True, "records": []}
-        with open(path) as f:
-            # bounded tail: a long-lived daemon's timings.jsonl grows per
-            # image — never slurp the whole file for the last n records
-            lines = deque(f, maxlen=n)
+        # bounded tail in I/O too, not just memory: deque(f) still scanned
+        # the whole file (hundreds of MB after millions of slices) per poll
+        # — read one block from the end instead (round-4 review finding)
+        with open(path, "rb") as f:
+            f.seek(0, os.SEEK_END)
+            size = f.tell()
+            block = min(size, max(65536, 1024 * n))
+            f.seek(size - block)
+            data = f.read().decode("utf-8", "replace")
+        lines = data.splitlines()
+        if block < size and lines:
+            lines = lines[1:]  # drop the partial first line of the block
+        lines = lines[-n:]
         records = []
         for line in lines:
             try:
@@ -260,7 +275,16 @@ class SegmentationService:
                 cascade_margin_threshold=float(
                     req.get("cascade_margin_threshold", 1.5)))
             if ok and self._partitions > 1:
-                self._build_partitions()
+                try:
+                    self._build_partitions()
+                except Exception as e:
+                    # a half-built pool would leave get_engine() non-None
+                    # while _checkout waits forever on an empty pool —
+                    # fail the init atomically (round-4 review finding)
+                    engine.cleanup_resources()
+                    return {"ok": False,
+                            "error": f"partition pool build failed: "
+                                     f"{type(e).__name__}: {e}"}
         return {"ok": bool(ok)} if ok else \
             {"ok": False, "error": f"initialization failed for {cache}"}
 
@@ -280,8 +304,13 @@ class SegmentationService:
             self._n_built = len(fresh)
             self._pool_cv.notify_all()
 
-    def _checkout(self):
-        """(generation, engine) from the pool, or None when draining."""
+    def _checkout(self, wait_s: float = 600.0):
+        """(generation, engine) from the pool, or None when draining, when
+        no pool was ever built, or after ``wait_s`` (an unbounded wait hung
+        clients forever if the pool build failed; round-4 review finding)."""
+        import time as _time
+
+        deadline = _time.monotonic() + wait_s
         with self._pool_cv:
             while True:
                 if self._draining:
@@ -289,7 +318,12 @@ class SegmentationService:
                 if self._engines:
                     self._outstanding += 1
                     return self._pool_gen, self._engines.pop()
-                self._pool_cv.wait()
+                if getattr(self, "_n_built", 0) == 0:
+                    return None  # nothing will ever arrive
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    return None
+                self._pool_cv.wait(remaining)
 
     def _checkin(self, gen: int, eng) -> None:
         with self._pool_cv:
@@ -318,12 +352,30 @@ class SegmentationService:
             return {"ok": False,
                     "error": f"tier must be one of {engine.ARTIFACT_TIERS}"}
 
+        # Fields only one path type honors must not be silently dropped
+        # (round-4 review: a directory request with tta=true got no TTA
+        # and an ok:true response).
+        if os.path.isdir(path):
+            unsupported = [k for k in ("tta", "window", "overlap",
+                                       "per_class") if req.get(k)]
+            if unsupported:
+                return {"ok": False,
+                        "error": f"directory requests do not support "
+                                 f"{unsupported} (batched path); send the "
+                                 f"files individually"}
+        elif emitter != "cv2" or tier != "full":
+            return {"ok": False,
+                    "error": "emitter/tier apply to directory (batched) "
+                             "requests only"}
+
         partitioned = self._partitions > 1
         gen = None
         if partitioned:
             co = self._checkout()    # concurrent requests run in parallel,
             if co is None:           # each on its own device subset
-                return {"ok": False, "error": "shutting down"}
+                return {"ok": False,
+                        "error": ("shutting down" if self._draining else
+                                  "no partition engine available")}
             gen, eng = co
             lock = _NullLock()
         else:
@@ -410,8 +462,24 @@ class SegmentationService:
             while self._inflight > 0:
                 if not self._wait_cv(self._inflight_cv, deadline):
                     break
-        with self._lock:
+        # Bounded final acquire: a detached timed-out request can hold the
+        # device lock indefinitely; honoring the drain deadline means
+        # warning and proceeding rather than hanging process exit
+        # (round-4 review finding).
+        import time as _time
+
+        remaining = (max(0.0, deadline - _time.monotonic())
+                     if deadline is not None else None)
+        acquired = self._lock.acquire(timeout=remaining) \
+            if remaining is not None else self._lock.acquire()
+        try:
+            if not acquired:
+                print("Warning: device lock still held at teardown "
+                      "(detached request?); cleaning up anyway")
             engine.cleanup_resources()
+        finally:
+            if acquired:
+                self._lock.release()
 
     @staticmethod
     def _wait_cv(cv, deadline) -> bool:
