@@ -508,3 +508,40 @@ def test_cli_window_overlap_flags(monkeypatch, tmp_path):
         f"{tmp_path}\nexit\n"))
     assert calls["window"] == 512
     assert calls["overlap"] == 128
+
+
+def test_cli_flag_path_mismatch_errors(monkeypatch, tmp_path, capsys):
+    """Flags the chosen path type cannot honor must error, not silently
+    drop (round-4 review: `process --tta -r dir ...` shipped non-TTA
+    masks with no warning); bad --window values must not crash the REPL."""
+    import io
+
+    from unetseg_tpu import cli
+
+    calls = []
+    monkeypatch.setattr(cli.engine, "initialize_engine", lambda *a, **k: True)
+    monkeypatch.setattr(cli.engine, "process_single_image",
+                        lambda *a, **k: calls.append("single") or True)
+    monkeypatch.setattr(cli, "_process_directory",
+                        lambda *a, **k: calls.append("dir"))
+    d = tmp_path / "scans"
+    d.mkdir()
+    f = tmp_path / "x.raw"
+    f.write_bytes(b"\0\0" * 16)
+
+    script = "\n".join([
+        "init m.ckpt",
+        f"process --tta -r {d} 64 64 {tmp_path}",       # dir + tta -> error
+        f"process --tier json {f} 64 64 {tmp_path}",    # file + tier -> error
+        f"process --window abc {f} 64 64 {tmp_path}",   # bad int -> error
+        f"process {f} 64 64 {tmp_path}",                # valid single
+        "init m.ckpt --cascade-margin co.ckpt",         # unknown init flag
+        "exit",
+    ]) + "\n"
+    assert cli.repl(io.StringIO(script)) == 0  # REPL never crashed
+    err = capsys.readouterr().err
+    assert "--tta" in err and "directory" in err
+    assert "--tier" in err
+    assert "--window" in err and "integer" in err
+    assert "unknown init option" in err
+    assert calls == ["single"]  # only the valid request dispatched

@@ -107,3 +107,17 @@ def test_quantize_checkpoint_serves_through_engine(tmp_path):
         assert (out / "q_mask.png").exists()
     finally:
         engine.cleanup_resources()
+
+
+def test_calibrate_empty_batches_raises(tmp_path):
+    """Zero calibration data must raise, not produce all-saturating scales
+    (round-4 review finding)."""
+    import pytest
+
+    from unetseg_tpu import quantize
+    from unetseg_tpu.models import unet
+
+    cfg = SMALL
+    params = jax.jit(unet.init, static_argnums=(1,))(jax.random.key(0), cfg)
+    with pytest.raises(ValueError, match="calibration"):
+        quantize.calibrate(params, cfg, [])

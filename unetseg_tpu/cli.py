@@ -148,6 +148,13 @@ def repl(stdin=None) -> int:
                         print("Error: invalid margin threshold",
                               file=sys.stderr)
                         continue
+            elif rest and rest[0].startswith("--"):
+                # a misspelled cascade flag must not silently initialize a
+                # cascade-LESS engine (round-4 review finding)
+                print(f"Error: unknown init option {rest[0]!r} (expected "
+                      "--cascade / --cascade-disagree / --cascade-both)",
+                      file=sys.stderr)
+                continue
             if engine.initialize_engine(cache_path,
                                         cascade_ckpt=cascade_ckpt,
                                         cascade_threshold=cascade_thr,
@@ -167,7 +174,8 @@ def repl(stdin=None) -> int:
             args = parts[1:]
             recursive = batched = tta = per_class = fast_emit = False
             window = overlap = None
-            tier = "full"
+            tier, tier_explicit = "full", False
+            flag_error = False
             while args and args[0] in ("-r", "--batched", "--tta", "--window",
                                        "--overlap", "--per-class",
                                        "--fast-emit", "--tier"):
@@ -178,14 +186,21 @@ def repl(stdin=None) -> int:
                     batched = True
                 elif flag == "--tta":
                     tta = True
-                elif flag == "--window":
+                elif flag in ("--window", "--overlap"):
                     if not args:
                         break
-                    window = int(args.pop(0))
-                elif flag == "--overlap":
-                    if not args:
+                    try:
+                        val = int(args.pop(0))
+                    except ValueError:
+                        # a bad value must not traceback out of the REPL
+                        print(f"Error: {flag} requires an integer",
+                              file=sys.stderr)
+                        flag_error = True
                         break
-                    overlap = int(args.pop(0))
+                    if flag == "--window":
+                        window = val
+                    else:
+                        overlap = val
                 elif flag == "--per-class":
                     per_class = True
                 elif flag == "--fast-emit":
@@ -193,7 +208,9 @@ def repl(stdin=None) -> int:
                 elif flag == "--tier":
                     if not args:
                         break
-                    tier = args.pop(0)
+                    tier, tier_explicit = args.pop(0), True
+            if flag_error:
+                continue
             if tier not in engine.ARTIFACT_TIERS:
                 print(f"Error: --tier must be one of "
                       f"{'|'.join(engine.ARTIFACT_TIERS)}", file=sys.stderr)
@@ -212,11 +229,31 @@ def repl(stdin=None) -> int:
 
             try:
                 if os.path.isdir(input_path):
+                    # flags the batched directory path cannot honor must
+                    # error, not silently drop (round-4 review finding)
+                    dropped = [n for n, v in (("--tta", tta),
+                                              ("--window", window),
+                                              ("--overlap", overlap),
+                                              ("--per-class", per_class))
+                               if v]
+                    if dropped:
+                        print(f"Error: {dropped} not supported for "
+                              "directory inputs (batched path)",
+                              file=sys.stderr)
+                        continue
                     _process_directory(
                         input_path, width, height, output_dir, recursive,
                         batched, fast_emit, tier
                     )
                 elif os.path.isfile(input_path):
+                    dropped = [n for n, v in (("--batched", batched),
+                                              ("--fast-emit", fast_emit),
+                                              ("--tier", tier_explicit),
+                                              ("-r", recursive)) if v]
+                    if dropped:
+                        print(f"Error: {dropped} apply to directory "
+                              "inputs only", file=sys.stderr)
+                        continue
                     print(f"Processing file: {input_path}")
                     if engine.process_single_image(
                         input_path, width, height, output_dir,
@@ -264,6 +301,14 @@ def main() -> int:
             if not sep:           # bare "PORT" (no colon)
                 host, p = "127.0.0.1", spec
             host = host or "127.0.0.1"
+            # IPv6 literal: accept the standard [addr]:port form (a bare
+            # ::1:8473 is ambiguous — rpartition would mis-split it)
+            if host.startswith("[") and host.endswith("]"):
+                host = host[1:-1]
+            elif ":" in host:
+                print(f"Error: IPv6 --serve addresses need brackets: "
+                      f"[{host}]:{p}", file=sys.stderr)
+                return 2
             try:
                 port = int(p)
             except ValueError:

@@ -32,7 +32,6 @@ from unetseg_tpu.io import native, png, raw as raw_io
 from unetseg_tpu.utils.logger import GLOBAL_LOG
 
 Point = Tuple[int, int]
-JSON_VERSION = "1.0.2.812"  # src/mask2polygon.cpp:9
 
 
 def get_log_file():
@@ -59,9 +58,10 @@ def preprocess_raw(raw_path: str, png_path: str, json_path: str,
     try:
         raw = raw_io.read_raw(raw_path, w, h)
         u8 = native.preprocess_u8(np.asarray(raw), 512)
-        parent = os.path.dirname(png_path)
-        if parent:
-            os.makedirs(parent, exist_ok=True)
+        for p in (png_path, json_path):  # the two may live in different dirs
+            parent = os.path.dirname(p)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
         png.write_png(png_path, u8, compression=0)
         with open(json_path, "wb") as f:
             f.write(native.size_json_bytes(
@@ -143,6 +143,11 @@ def process_single_mask(mask_path: str, output_dir: str, json_path: str,
         print(f"Scaled Size: {sw}x{sh}")
 
         mask = png.read_png_gray(mask_path)
+        if mask.dtype == np.uint16:
+            # the reference reads with plain IMREAD_GRAYSCALE
+            # (src/mask2polygon.cpp:166): 16-bit PNGs downconvert to 8-bit
+            # (libpng strip_16 keeps the high byte) BEFORE threshold>127
+            mask = (mask >> 8).astype(np.uint8)
         if mask.shape[1] != sw or mask.shape[0] != sh:
             raise RuntimeError(
                 f"Mask size mismatch: {mask.shape[1]}x{mask.shape[0]} "

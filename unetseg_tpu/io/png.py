@@ -31,6 +31,11 @@ def write_png(path: str, img: np.ndarray, compression=0) -> None:
             raise RuntimeError(f"imwrite failed: {path}")
     else:  # pragma: no cover
         level = 1 if compression is None else compression
+        if img.ndim == 3 and img.shape[2] == 3:
+            # this module's 3-channel convention is BGR (cv2 parity);
+            # PIL interprets arrays as RGB — swap or the saved overlay
+            # has red/blue exchanged (round-4 review finding)
+            img = img[..., ::-1]
         Image.fromarray(img).save(path, compress_level=level)
 
 
@@ -41,7 +46,12 @@ def read_png_gray(path: str) -> np.ndarray:
             raise RuntimeError(f"Failed to read image: {path}")
         return img
     else:  # pragma: no cover
-        return np.asarray(Image.open(path).convert("L"))
+        im = Image.open(path)
+        if im.mode in ("I", "I;16", "I;16B", "I;16L"):
+            # preserve 16-bit depth like IMREAD_ANYDEPTH; convert('L')
+            # would clamp to 8-bit (round-4 review finding)
+            return np.asarray(im, dtype=np.uint16)
+        return np.asarray(im.convert("L"))
 
 
 def read_png_bgr(path: str) -> np.ndarray:

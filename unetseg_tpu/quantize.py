@@ -152,6 +152,14 @@ def calibrate(params, cfg: ModelConfig, calib_batches) -> Dict[str, float]:
                     "update quantize._forward_f32")
             checked = True
         mx = np.maximum(mx, np.asarray(scales))
+    if not checked or not np.all(mx > 0):
+        # an empty/exhausted iterable (or an all-zero input) would yield
+        # zero scales -> every activation saturates and the served w8a8
+        # model emits noise with no error anywhere (round-4 review finding)
+        raise ValueError(
+            "calibration saw no data (or produced zero activation scales) "
+            f"— got {int(np.sum(mx > 0))}/{len(mx)} nonzero scales; pass "
+            "at least one representative batch")
     return {n: float(v) for n, v in zip(names, mx)}
 
 
