@@ -295,3 +295,30 @@ def test_fuzz_512_postprocess_native():
             native.postprocess_batch(mask), oracle_postprocess(mask),
             err_msg=f"trial {trial}",
         )
+
+
+def test_morphology_even_size_rejected():
+    import jax.numpy as jnp
+
+    m = jnp.zeros((8, 8), jnp.bool_)
+    with pytest.raises(ValueError, match="odd"):
+        morphology.erode(m, size=2)
+    with pytest.raises(ValueError, match="odd"):
+        morphology.dilate(m, size=4)
+
+
+def test_logger_reinit_switches_jsonl(tmp_path):
+    """Re-init must move the structured log to the NEW directory (it used
+    to keep appending to the old run's timings.jsonl; round-4 review)."""
+    from unetseg_tpu.utils.logger import SegmentationLog
+
+    log = SegmentationLog()
+    assert log.open(str(tmp_path / "run1"))
+    log.record(event="a")
+    assert log.open(str(tmp_path / "run2"))
+    log.record(event="b")
+    log.close()
+    t1 = (tmp_path / "run1" / "timings.jsonl").read_text()
+    t2 = (tmp_path / "run2" / "timings.jsonl").read_text()
+    assert "a" in t1 and "b" not in t1
+    assert "b" in t2

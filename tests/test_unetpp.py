@@ -74,3 +74,18 @@ def test_unetpp_checkpoint_and_engine(tmp_path):
         assert (tmp_path / "out" / "a_mask.png").exists()
     finally:
         engine.cleanup_resources()
+
+
+def test_head_count_config_mismatch_raises():
+    """A DS checkpoint served with deep_supervision=False must raise, not
+    silently feed heads[0] with the wrong features (round-4 review)."""
+    import dataclasses
+
+    import pytest
+
+    cfg_ds = dataclasses.replace(SMALL, deep_supervision=True)
+    params = unetpp.init(jax.random.key(0), cfg_ds)
+    x = jnp.zeros((1, SMALL.image_size, SMALL.image_size, 1), jnp.float32)
+    cfg_plain = dataclasses.replace(cfg_ds, deep_supervision=False)
+    with pytest.raises(ValueError, match="head"):
+        unetpp.apply(params, x, cfg_plain)

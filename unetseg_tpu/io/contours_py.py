@@ -116,11 +116,12 @@ def extract_contours(mask: np.ndarray, *, approx_simple: bool = True
     outer_bg = bg_labels[0, 0]
 
     # Raster-first pixel of each component (scan order = discovery order).
+    # np.nonzero already yields C-order (row-major) indices, i.e. sorted by
+    # (y, x) — no lexsort needed.
     ys, xs = np.nonzero(padded)
-    order = np.lexsort((xs, ys))
     seen = set()
     contours: List[List[Point]] = []
-    for k in order:
+    for k in range(len(ys)):
         y, x = int(ys[k]), int(xs[k])
         comp = int(fg_labels[y, x])
         if comp in seen:

@@ -50,6 +50,24 @@ def size_json_bytes(filename: str, original_w: int, original_h: int,
     return (dumps_compact(obj) + "\n").encode()
 
 
+def _shape(label: int, label_index: int,
+           contour: Sequence[Tuple[int, int]]) -> Dict[str, Any]:
+    """One labelme shape dict — the single copy both the standard and the
+    per-class emitters share (key order is part of the byte contract with
+    the nlohmann goldens; keeping two literals in sync invited silent
+    divergence)."""
+    return {
+        "label": int(label),
+        "labelIndex": int(label_index),
+        "points": [[int(x), int(y)] for (x, y) in contour],
+        "shape_type": "polygon",
+        "description": "",
+        "mask": None,
+        "group_id": None,
+        "flags": {},
+    }
+
+
 def contour_json_obj(
     contours: Sequence[Sequence[Tuple[int, int]]],
     base_name: str,
@@ -58,20 +76,9 @@ def contour_json_obj(
     version: str = "1.0.2.812",
 ) -> Dict[str, Any]:
     """The labelme-style schema (src/mask2polygon.cpp:68-109)."""
-    shapes: List[Dict[str, Any]] = []
-    for contour in contours:
-        shapes.append(
-            {
-                "label": 1,
-                "labelIndex": 0,
-                "points": [[int(x), int(y)] for (x, y) in contour],
-                "shape_type": "polygon",
-                "description": "",
-                "mask": None,
-                "group_id": None,
-                "flags": {},
-            }
-        )
+    shapes: List[Dict[str, Any]] = [
+        _shape(1, 0, contour) for contour in contours
+    ]
     return {
         "version": version,
         "imagePath": base_name + ".raw",
@@ -109,15 +116,6 @@ def contour_json_bytes_labeled(
     multi-class extension (BASELINE config 2)."""
     obj = contour_json_obj([], base_name, original_width, original_height,
                            version)
-    for label, label_index, contour in labeled:
-        obj["shapes"].append({
-            "label": int(label),
-            "labelIndex": int(label_index),
-            "points": [[int(x), int(y)] for (x, y) in contour],
-            "shape_type": "polygon",
-            "description": "",
-            "mask": None,
-            "group_id": None,
-            "flags": {},
-        })
+    obj["shapes"] = [_shape(label, idx, contour)
+                     for label, idx, contour in labeled]
     return (dumps_pretty(obj) + "\n").encode()

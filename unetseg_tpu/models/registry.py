@@ -30,8 +30,13 @@ def _ensure_builtin() -> None:
 
         register("unetpp", unetpp.init, unetpp.apply)
     if "unet_w8a8" not in _REGISTRY:
-        # importing the module registers the quantized-serving arch
-        from unetseg_tpu import quantize  # noqa: F401
+        try:
+            # importing the module registers the quantized-serving arch;
+            # the OPTIONAL w8a8 path must not break unet/unetpp lookups
+            # if its import ever fails (round-4 review finding)
+            from unetseg_tpu import quantize  # noqa: F401
+        except Exception:  # pragma: no cover
+            pass
 
 
 def get(name: str) -> Tuple[Callable, Callable]:

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from unetseg_tpu.config import ModelConfig
 from unetseg_tpu.models.unet import (
     _conv,
+    _conv3x3_relu,
     _conv_init,
     _conv_transpose,
     _double_conv,
@@ -101,10 +102,25 @@ def apply(params: Params, x: jax.Array,
             up = _conv_transpose(grid[f"{i + 1}_{j - 1}"], node["up"], dtype=dtype)
             feats = [grid[f"{i}_{k}"].astype(dtype) for k in range(j)] + [up]
             h = jnp.concatenate(feats, axis=-1)
-            h = jax.nn.relu(_conv(h, node["conv1"], dtype=dtype))
-            h = jax.nn.relu(_conv(h, node["conv2"], dtype=dtype))
+            # honor cfg.conv_impl here too — the backbone did, but the
+            # nested nodes hard-coded the XLA path, silently benchmarking
+            # a hybrid under experimental_* impls (round-4 review finding)
+            h = _conv3x3_relu(h, node["conv1"], dtype=dtype,
+                              impl=cfg.conv_impl)
+            h = _conv3x3_relu(h, node["conv2"], dtype=dtype,
+                              impl=cfg.conv_impl)
             grid[f"{i}_{j}"] = h
 
+    # the checkpoint's actual head count must agree with the config — a
+    # DS checkpoint served with deep_supervision=False would silently feed
+    # heads[0] (trained on X(0,1)) with X(0,depth) features, and zip()
+    # would silently truncate the converse (round-4 review finding)
+    n_heads = len(params["heads"])
+    want = cfg.depth if cfg.deep_supervision else 1
+    if n_heads != want:
+        raise ValueError(
+            f"unetpp: checkpoint has {n_heads} head(s) but "
+            f"deep_supervision={cfg.deep_supervision} expects {want}")
     if cfg.deep_supervision:
         logits: List[jax.Array] = [
             _conv(grid[f"0_{j}"], head, dtype=dtype)

@@ -18,6 +18,11 @@ from jax import lax
 
 
 def _window(x: jax.Array, init, op, size: int) -> jax.Array:
+    if size < 1 or size % 2 == 0:
+        # size//2 padding is shape-preserving only for odd sizes; an even
+        # size silently returned (H+1, W+1) with shifted geometry
+        raise ValueError(f"morphology window size must be odd >= 1, "
+                         f"got {size}")
     pad = size // 2
     nd = x.ndim
     window = (1,) * (nd - 2) + (size, size)

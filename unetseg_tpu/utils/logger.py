@@ -25,21 +25,32 @@ class SegmentationLog:
         self._lock = threading.Lock()
 
     def open(self, log_dir: str, structured: bool = True) -> bool:
+        """(Re)open the log in ``log_dir``; re-init is a supported flow.
+
+        State transitions atomically: the previous handles close first (a
+        re-init used to leak them and keep writing timings to the OLD
+        run's timings.jsonl), and on failure the log stays fully closed
+        rather than half-pointing at a file that was never created
+        (round-4 review finding)."""
         os.makedirs(log_dir, exist_ok=True)
-        self._path = os.path.join(log_dir, "segmentation_log.txt")
+        path = os.path.join(log_dir, "segmentation_log.txt")
         try:
             # truncate-on-init, parity with initialize.cpp:31
-            self._f = open(self._path, "w")
+            f = open(path, "w")
         except OSError:
-            print(f"Failed to create log file: {self._path}")
+            print(f"Failed to create log file: {path}")
+            self.close()
             return False
-        if structured:
-            try:
-                self._jsonl_path = os.path.join(log_dir, "timings.jsonl")
-                self._jsonl = open(self._jsonl_path, "w")
-            except OSError:
-                self._jsonl = None
-                self._jsonl_path = None
+        self.close()  # release prior handles only once the new open worked
+        with self._lock:
+            self._f, self._path = f, path
+            if structured:
+                try:
+                    self._jsonl_path = os.path.join(log_dir, "timings.jsonl")
+                    self._jsonl = open(self._jsonl_path, "w")
+                except OSError:
+                    self._jsonl = None
+                    self._jsonl_path = None
         return True
 
     @property
