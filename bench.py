@@ -2,15 +2,14 @@
 """Headline benchmark: 512² slices/sec/chip through the fused device pipeline.
 
 Measures the dense device path the framework deploys — u8 normalize ->
-UNet -> argmax decode — as one XLA executable, batch-32, on whatever backend
-JAX selects (the driver runs this on one real TPU chip).  The serving model
-is the best distilled student present (models/flagship_slim4.ckpt, else
-flagship_slim4_robust.ckpt: stem=4 space-to-depth, base-64 depth-2, all
-internals at 128²; then models/flagship_slim.ckpt: stem=2, internals at
-256² — all distilled from the 512² flagship teacher to >=0.999 mask
-agreement); it falls back to the flagship and then to random init when
-checkpoints are absent.  Mask cleanup runs on the host in production,
-pipelined off the device's critical path (see the comment in main()).
+UNet -> argmax decode — as one XLA executable at the serving batch (128,
+the measured dispatch-amortization sweet spot), on whatever backend JAX
+selects (the driver runs this on one real TPU chip).  The serving model is
+`checkpoint.load_serving`'s pick (slim4 specialist > slim4 robust > gen-1
+slim > flagship teacher — the single-sourced policy all benchmarks share),
+falling back to random init when no checkpoint exists.  Mask cleanup runs
+on the host in production, pipelined off the device's critical path (see
+the comment in main()).
 
 Prints ONE JSON line covering the BASELINE.md metrics:
   value              512² slices/sec/chip (vs_baseline = value/500)
@@ -35,10 +34,7 @@ import time
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-SLIM4 = os.path.join(_DIR, "models", "flagship_slim4.ckpt")
-SLIM4_ROBUST = os.path.join(_DIR, "models", "flagship_slim4_robust.ckpt")
-SLIM = os.path.join(_DIR, "models", "flagship_slim.ckpt")
-FLAGSHIP = os.path.join(_DIR, "models", "flagship_synth.ckpt")
+FLAGSHIP = os.path.join(_DIR, "models", "flagship_synth.ckpt")  # teacher
 
 
 def _polygons_from_pipeline(mask_vis: np.ndarray, orig_w: int, orig_h: int):
@@ -60,29 +56,12 @@ def main() -> int:
     from unetseg_tpu.models import registry as model_registry, unet
     from unetseg_tpu.ops import decode, preprocess
 
-    if os.path.exists(SLIM4) or os.path.exists(SLIM4_ROBUST):
-        # stem=4 base-64 depth-2 distilled student (train_slim.py /
-        # benchmarks/robustify.py): 1.9 M params / 3.7 MB.  The in-family
-        # specialist (flagship_slim4.ckpt) is preferred when present; the
-        # wide-family robust student is the shipped fallback.
-        from unetseg_tpu import checkpoint
+    from unetseg_tpu import checkpoint
 
-        path = SLIM4 if os.path.exists(SLIM4) else SLIM4_ROBUST
-        params, cfg = checkpoint.load(path)
+    found = checkpoint.load_serving(os.path.join(_DIR, "models"))
+    if found is not None:
+        params, cfg, serving = found
         params = jax.device_put(params)
-        serving = "slim4"
-    elif os.path.exists(SLIM):
-        from unetseg_tpu import checkpoint
-
-        params, cfg = checkpoint.load(SLIM)
-        params = jax.device_put(params)
-        serving = "slim"
-    elif os.path.exists(FLAGSHIP):
-        from unetseg_tpu import checkpoint
-
-        params, cfg = checkpoint.load(FLAGSHIP)
-        params = jax.device_put(params)
-        serving = "flagship"
     else:
         cfg = ModelConfig()
         params = jax.jit(unet.init, static_argnums=(1,))(jax.random.key(0), cfg)
@@ -174,7 +153,7 @@ def main() -> int:
         vals = []
         for i in range(4):
             mask = native.postprocess_batch(pred[i][None])[0]
-            vis = np.asarray(decode.mask_to_image(jnp.asarray(mask)))
+            vis = decode.mask_to_image_np(mask)
             ours = _polygons_from_pipeline(vis, ow, oh)
             theirs = twin.twin_pipeline(host_params, cfg, u8v[i], ow, oh)
             vals.append(metrics.polygon_iou(ours, theirs, ow, oh))
@@ -193,9 +172,9 @@ def main() -> int:
                 m_s = native.postprocess_batch(pred[i][None])[0]
                 m_t = native.postprocess_batch(t_pred[i][None])[0]
                 p_s = _polygons_from_pipeline(
-                    np.asarray(decode.mask_to_image(jnp.asarray(m_s))), 512, 512)
+                    decode.mask_to_image_np(m_s), 512, 512)
                 p_t = _polygons_from_pipeline(
-                    np.asarray(decode.mask_to_image(jnp.asarray(m_t))), 512, 512)
+                    decode.mask_to_image_np(m_t), 512, 512)
                 avals.append(metrics.polygon_iou(p_s, p_t, 512, 512))
             agreement = float(np.mean(avals))
             agreement_min = float(np.min(avals))
@@ -203,8 +182,12 @@ def main() -> int:
     # --- p50 single-slice RAW -> polygon-JSON latency -----------------------
     from unetseg_tpu.parallel import pipeline as study_pipeline
 
-    raw = np.random.default_rng(7).integers(
-        0, 65536, size=(512, 512), dtype=np.uint16)
+    # a REALISTIC slice, not uint16 noise: noise post-cleanup masks are
+    # empty, which skips the contour-trace + JSON stages this metric is
+    # named for and biases p50 low (round-4 review finding)
+    from unetseg_tpu import data as _data
+
+    raw, _ = _data.synth_slice(np.random.default_rng(7), 512)
     p50_ms = study_pipeline.measure_p50_latency(
         params, cfg, raw, 512, 512, iters=20) * 1e3
     # a synchronous slice call pays at least one tunnel round trip plus the

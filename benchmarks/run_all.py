@@ -45,30 +45,23 @@ def main() -> int:
     from unetseg_tpu.parallel import pipeline as ppl
     from unetseg_tpu.parallel import tiles, tta
 
-    # Serving checkpoint (slim4 > slim flagship) when present; random
-    # flagship geometry otherwise — same policy as bench.py.
+    # Serving checkpoint: checkpoint.load_serving — the SAME single-sourced
+    # policy bench.py uses (this file previously omitted the flagship tier
+    # and silently fell to random-init where bench served the teacher).
+    from unetseg_tpu import checkpoint
+
     mdir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "models")
-    slim = next((p for p in (os.path.join(mdir, "flagship_slim4.ckpt"),
-                             os.path.join(mdir, "flagship_slim4_robust.ckpt"),
-                             os.path.join(mdir, "flagship_slim.ckpt"))
-                 if os.path.exists(p)), None)
-    if slim:
-        from unetseg_tpu import checkpoint
-
-        params, cfg = checkpoint.load(slim)
+    found = checkpoint.load_serving(mdir)
+    if found is not None:
+        params, cfg, ckpt_name = found
         params = jax.device_put(params)
-        ckpt_name = os.path.basename(slim).replace(
-            "flagship_", "").replace(".ckpt", "")
     else:
         cfg = ModelConfig()
         params = unet.init(jax.random.key(0), cfg)
         ckpt_name = "random-init"
     rng = np.random.default_rng(0)
     report = {"device": str(jax.devices()[0]), "checkpoint": ckpt_name}
-
-    def sync(x):
-        return float(np.asarray(x).ravel()[0])
 
     def sync1(x):
         return float(x[(0,) * x.ndim])
@@ -84,7 +77,8 @@ def main() -> int:
     @jax.jit
     def dev(params, raws):
         u8, x = preprocess.preprocess_batch(raws, 512)
-        return decode.decode_mask(model_registry.apply(params, x, cfg), 3)
+        return decode.decode_mask(model_registry.apply(params, x, cfg),
+                                   cfg.num_classes)
 
     raws_dev = jnp.asarray(raws)  # upload once; batches stay resident
     m = dev(params, raws_dev)
@@ -129,7 +123,8 @@ def main() -> int:
     @jax.jit
     def fused_all_device(p, raws):
         _, x = preprocess.preprocess_batch(raws, 512)
-        mask = decode.decode_mask(model_registry.apply(p, x, cfg), 3)
+        mask = decode.decode_mask(model_registry.apply(p, x, cfg),
+                                  cfg.num_classes)
         return device_post.postprocess_batch(mask, use_pallas_cc=on_tpu)
 
     out = fused_all_device(params, raws_dev)
@@ -198,7 +193,7 @@ def main() -> int:
             report[f"c4_study_slices_per_sec_{key}"] = round(
                 res.slices_per_sec, 1)
     report["c4_study_slices"] = n
-    report["c4_study_wall_s"] = round(res.wall_s, 2)
+    report["c4_study_wall_s_full"] = round(res.wall_s, 2)  # last tier only
 
     # ---- config 5: TTA ensemble (single chip) ----------------------------
     u8 = jnp.asarray((synth_slice(rng, 512)[0] >> 8).astype(np.uint8))

@@ -75,6 +75,30 @@ def load(path: str) -> Tuple[dict, ModelConfig]:
     return data["params"], cfg
 
 
+def load_serving(models_dir: str, include_flagship: bool = True):
+    """Best serving checkpoint by the shipped policy, or None.
+
+    Priority: slim4 specialist > slim4 robust > gen-1 slim > (optionally)
+    the flagship teacher.  Returns (params, cfg, tier_name).  This is THE
+    single copy of the policy — bench.py, benchmarks/run_all.py and
+    __graft_entry__.py each hand-rolled divergent variants (round-4 review
+    finding: run_all silently dropped to random-init where bench served
+    the flagship)."""
+    import os
+
+    order = [("slim4", "flagship_slim4.ckpt"),
+             ("slim4", "flagship_slim4_robust.ckpt"),
+             ("slim", "flagship_slim.ckpt")]
+    if include_flagship:
+        order.append(("flagship", "flagship_synth.ckpt"))
+    for name, fname in order:
+        p = os.path.join(models_dir, fname)
+        if os.path.exists(p):
+            params, cfg = load(p)
+            return params, cfg, name
+    return None
+
+
 def create(path: str, cfg: ModelConfig = ModelConfig(), seed: int = 0) -> None:
     """Create a fresh randomly-initialized checkpoint (for tests/demo/train)."""
     init = jax.jit(model_registry.get(cfg.arch)[0], static_argnums=(1,))
