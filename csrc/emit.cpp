@@ -233,7 +233,7 @@ int utpu_emit_slice(const uint8_t* norm_u8, const uint8_t* clean_mask, int h,
                     int w, const char* out_dir, const char* base_name,
                     const char* src_filename, int orig_w, int orig_h,
                     int tier) {
-  if (h <= 0 || w <= 0) return 1;  // zero-area PNGs are invalid per spec
+  if (h <= 0 || w <= 0) return -1;  // zero-area PNGs are invalid per spec
   std::vector<uint8_t> vis(static_cast<size_t>(h) * w);
   static const uint8_t LUT[3] = {0, 128, 255};
   for (size_t i = 0; i < vis.size(); ++i)
