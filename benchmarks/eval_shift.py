@@ -76,7 +76,7 @@ def main():
 
         # full-pipeline parity vs the twin oracle on 4 slices
         parity = []
-        for i in range(4):
+        for i in range(min(4, n)):
             mask = native.postprocess_batch(ps[i][None])[0]
             vis = np.asarray(decode.mask_to_image(jnp.asarray(mask)))
             sx, sy = 1024 / 512, 768 / 512
