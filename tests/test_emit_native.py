@@ -96,6 +96,19 @@ def test_empty_mask_skips_contour_artifacts(tmp_path):
         "e_mask.png", "e_normalized.png", "e_original_sizes.json"]
 
 
+def test_degenerate_dims_report_failure(tmp_path):
+    """Zero-area slices cannot be emitted (zero-area PNGs are invalid per
+    the PNG spec): the slice must report -1 (failure), not a fabricated
+    contour count, and write nothing."""
+    u8 = np.empty((1, 0, 512), np.uint8)
+    clean = np.empty((1, 0, 512), np.uint8)
+    td = str(tmp_path)
+    counts = native.emit_batch(u8, clean, [td], ["z"], ["z.raw"],
+                               512, 512, native.TIER_FULL)
+    assert counts.tolist() == [-1]
+    assert os.listdir(td) == []
+
+
 def test_emit_batch_multi_slice(slice_fix, tmp_path):
     u8, clean, vis = slice_fix
     n = 4
