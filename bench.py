@@ -160,7 +160,7 @@ def main() -> int:
         parity = float(np.mean(vals))
 
         # student-vs-flagship polygon agreement (the distillation contract)
-        if serving in ("slim", "slim4") and os.path.exists(FLAGSHIP):
+        if serving in ("slim", "slim4", "slim5") and os.path.exists(FLAGSHIP):
             from unetseg_tpu import checkpoint as _ck
 
             t_params, t_cfg = _ck.load(FLAGSHIP)

@@ -78,15 +78,16 @@ def load(path: str) -> Tuple[dict, ModelConfig]:
 def load_serving(models_dir: str, include_flagship: bool = True):
     """Best serving checkpoint by the shipped policy, or None.
 
-    Priority: slim4 specialist > slim4 robust > gen-1 slim > (optionally)
-    the flagship teacher.  Returns (params, cfg, tier_name).  This is THE
-    single copy of the policy — bench.py, benchmarks/run_all.py and
-    __graft_entry__.py each hand-rolled divergent variants (round-4 review
-    finding: run_all silently dropped to random-init where bench served
-    the flagship)."""
+    Priority: slim5 (if shipped) > slim4 specialist > slim4 robust >
+    gen-1 slim > (optionally) the flagship teacher.  Returns
+    (params, cfg, tier_name).  This is THE single copy of the policy —
+    bench.py, benchmarks/run_all.py and __graft_entry__.py each
+    hand-rolled divergent variants (round-4 review finding: run_all
+    silently dropped to random-init where bench served the flagship)."""
     import os
 
-    order = [("slim4", "flagship_slim4.ckpt"),
+    order = [("slim5", "flagship_slim5.ckpt"),
+             ("slim4", "flagship_slim4.ckpt"),
              ("slim4", "flagship_slim4_robust.ckpt"),
              ("slim", "flagship_slim.ckpt")]
     if include_flagship:
