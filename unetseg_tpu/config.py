@@ -53,8 +53,9 @@ class ModelConfig:
     # /root/reference/src/process.cpp:70,162) is unchanged.  stem=1 is the
     # reference-faithful flagship geometry.
     stem: int = 1
-    # Model family: "unet" (the reference contract) or "unetpp" (nested
-    # UNet++, models/unetpp.py).
+    # Model family: "unet" (the reference contract), "unetpp" (nested
+    # UNet++, models/unetpp.py) or "attention_unet" (attention-gated skips,
+    # models/attention_unet.py).
     arch: str = "unet"
     # UNet++ deep supervision (averaged multi-head logits).
     deep_supervision: bool = False

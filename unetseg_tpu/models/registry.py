@@ -29,6 +29,10 @@ def _ensure_builtin() -> None:
         from unetseg_tpu.models import unetpp
 
         register("unetpp", unetpp.init, unetpp.apply)
+    if "attention_unet" not in _REGISTRY:
+        from unetseg_tpu.models import attention_unet
+
+        register("attention_unet", attention_unet.init, attention_unet.apply)
     if "unet_w8a8" not in _REGISTRY:
         try:
             # importing the module registers the quantized-serving arch;
