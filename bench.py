@@ -130,6 +130,7 @@ def main() -> int:
 
     # --- accuracy + parity on held-out synthetic slices --------------------
     fg_iou = fg_min = parity = agreement = agreement_min = None
+    hd95_max = assd_mean = None
     if serving != "random-init":
         from unetseg_tpu import data, metrics
 
@@ -141,6 +142,17 @@ def main() -> int:
                 for i in range(len(labels))]
         fg_iou = float(np.mean(ious))
         fg_min = float(np.min(ious))
+
+        # boundary-distance complement (the deliverable is a contour; IoU
+        # is blind to where on the rim the error sits).  Informational —
+        # the gates stay on the IoU minimums.
+        bds = [metrics.boundary_distances(pred[i], labels[i])
+               for i in range(len(labels))]
+        finite = [d for d in bds if np.isfinite(d["hd95"])]
+        hd95_max = (float(max(d["hd95"] for d in finite))
+                    if len(finite) == len(bds) else None)
+        assd_mean = (float(np.mean([d["assd"] for d in finite]))
+                     if len(finite) == len(bds) else None)
 
         # parity vs the reference twin (full pipeline, same checkpoint),
         # at a non-trivial original resolution to exercise the truncating
@@ -214,6 +226,9 @@ def main() -> int:
         # Named accuracy gates, graded on the per-slice MINIMUM (the number
         # that matters for a medical tool; VERDICT r3 item 1): contract is
         # >= 0.999 worst-slice fg IoU at >= 10x baseline throughput.
+        "hd95_max_px": (round(hd95_max, 2) if hd95_max is not None else None),
+        "assd_mean_px": (round(assd_mean, 3)
+                         if assd_mean is not None else None),
         "gate_fg_iou_min": (None if fg_min is None
                             else bool(fg_min >= 0.999)),
         "gate_throughput_10x": bool(slices_per_sec >= 10 * baseline),

@@ -74,3 +74,46 @@ def test_evaluate_masks_single_pass_consistency():
                                            jnp.asarray(targ), 3))
     for c in range(3):
         assert rep[f"iou_class{c}"] == pytest.approx(float(iou[c]), abs=1e-6)
+
+
+def test_boundary_distances_identity_and_shift():
+    from unetseg_tpu.metrics import boundary_distances
+
+    m = np.zeros((64, 64), np.uint8)
+    m[20:40, 20:40] = 2
+    d = boundary_distances(m, m)
+    assert d == {"hausdorff": 0.0, "hd95": 0.0, "assd": 0.0}
+
+    # a pure k-pixel translation of a large square: every boundary point of
+    # one square is within k of the other, and the far corners realize it
+    shifted = np.zeros((64, 64), np.uint8)
+    shifted[23:43, 20:40] = 2
+    d = boundary_distances(m, shifted)
+    assert d["hausdorff"] == 3.0
+    assert 0.0 < d["assd"] <= 3.0
+    assert d["hd95"] <= d["hausdorff"]
+
+
+def test_boundary_distances_empty_semantics():
+    from unetseg_tpu.metrics import boundary_distances
+
+    empty = np.zeros((32, 32), np.uint8)
+    organ = np.zeros((32, 32), np.uint8)
+    organ[10:20, 10:20] = 2
+    assert boundary_distances(empty, empty)["hausdorff"] == 0.0
+    assert boundary_distances(empty, organ)["hd95"] == float("inf")
+    assert boundary_distances(organ, empty)["assd"] == float("inf")
+
+
+def test_boundary_distances_border_touching():
+    from unetseg_tpu.metrics import boundary_distances
+
+    # organ flush with the image border: the border edge still counts as
+    # boundary (consistent with traced contours), so a one-pixel inset of
+    # that edge is distance-1, not distance-0
+    a = np.zeros((16, 16), np.uint8)
+    a[0:8, 4:12] = 2
+    b = np.zeros((16, 16), np.uint8)
+    b[1:8, 4:12] = 2
+    d = boundary_distances(a, b)
+    assert d["hausdorff"] == 1.0
