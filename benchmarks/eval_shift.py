@@ -85,9 +85,16 @@ def main():
             theirs = twin.twin_pipeline(host_s, s_cfg, u8[i], 1024, 768)
             parity.append(metrics.polygon_iou(ours, theirs, 1024, 768))
 
+        bds = [metrics.boundary_distances(ps[i], labels[i])
+               for i in range(n)]
+        hd95s = [d["hd95"] for d in bds]
+        hd95_max = (round(float(np.max(hd95s)), 2)
+                    if np.all(np.isfinite(hd95s)) else None)
+
         report[kind] = {
             "student_fg_iou": round(float(np.mean(s_iou)), 5),
             "student_fg_iou_min": round(float(np.min(s_iou)), 5),
+            "student_hd95_max_px": hd95_max,
             "teacher_fg_iou": round(float(np.mean(t_iou)), 5),
             "teacher_fg_iou_min": round(float(np.min(t_iou)), 5),
             "student_teacher_agreement": round(float(np.mean(agree)), 5),
