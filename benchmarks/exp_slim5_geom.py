@@ -31,7 +31,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 from unetseg_tpu.config import ModelConfig
-from unetseg_tpu.models import registry as model_registry, unet
+from unetseg_tpu.models import registry as model_registry
 from unetseg_tpu.ops import decode, preprocess
 
 BATCH = 128
@@ -58,13 +58,17 @@ def main() -> int:
         ("base32_d2", ModelConfig(stem=4, base_channels=32, depth=2)),
         ("base96_d2", ModelConfig(stem=4, base_channels=96, depth=2)),
         ("base64_d3", ModelConfig(stem=4, base_channels=64, depth=3)),
+        # attention-gated family at the serving geometry: is the gate's
+        # small-organ localisation prior affordable at serving speed?
+        ("att64_d2", ModelConfig(stem=4, base_channels=64, depth=2,
+                                 arch="attention_unet")),
     ]
     rng = np.random.default_rng(0)
     u8 = jnp.asarray(rng.integers(0, 256, size=(BATCH, 512, 512),
                                   dtype=np.uint8))
     results = {}
     for name, cfg in candidates:
-        params = jax.jit(unet.init, static_argnums=(1,))(
+        params = jax.jit(model_registry.init, static_argnums=(1,))(
             jax.random.key(0), cfg)
         params = jax.device_put(params)
         pipe = make_pipeline(cfg)

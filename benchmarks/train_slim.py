@@ -19,6 +19,7 @@ prints val fg-IoU (vs labels) and mask agreement (vs teacher).
 
 Usage: python benchmarks/train_slim.py [steps] [n_train] [depth] [stem]
                                        [base_channels] [out_path] [boost]
+                                       [arch]
 (stem=4 explores the 128²-levels geometry; the contract gate — ship only
 at >=0.999 agreement — is applied by the caller.  ``boost`` > 0 enables
 boundary-weighted distillation — label-transition pixels up-weighted in CE
@@ -70,12 +71,13 @@ def main():
     base = int(sys.argv[5]) if len(sys.argv) > 5 else 64
     out_path = sys.argv[6] if len(sys.argv) > 6 else OUT
     boost = float(sys.argv[7]) if len(sys.argv) > 7 else 0.0
+    arch = sys.argv[8] if len(sys.argv) > 8 else "unet"
     batch = 8
 
     t_params, t_cfg = checkpoint.load(TEACHER)
     t_params = jax.device_put(t_params)
 
-    cfg = ModelConfig(stem=stem, depth=depth, base_channels=base)
+    cfg = ModelConfig(stem=stem, depth=depth, base_channels=base, arch=arch)
     tx = train.make_optimizer(lr=3e-4, total_steps=steps)
     state = train.init_state(jax.random.key(0), cfg, tx)
 

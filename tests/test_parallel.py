@@ -271,14 +271,18 @@ def test_tta_batch_matches_per_slice(params):
                 compute_dtype="float32"),
     ModelConfig(stem=4, depth=2, base_channels=8, image_size=64,
                 compute_dtype="float32"),
-], ids=["plain", "stem2", "stem4"])
+    ModelConfig(arch="attention_unet", depth=2, base_channels=8,
+                image_size=64, compute_dtype="float32"),
+    ModelConfig(arch="attention_unet", stem=2, depth=2, base_channels=8,
+                image_size=64, compute_dtype="float32"),
+], ids=["plain", "stem2", "stem4", "att", "att_stem2"])
 def test_weightspace_tta_matches_activation_tta(cfg):
     """Dihedral equivariance: 8 transformed-weight passes over the SAME
     input == the activation-space 8-view ensemble (logit-level check via
     identical masks; logits compared to fp tolerance)."""
     from unetseg_tpu.models import registry as model_registry
 
-    params = unet.init(jax.random.key(5), cfg)
+    params = model_registry.init(jax.random.key(5), cfg)
     rng = np.random.default_rng(23)
     u8 = rng.integers(0, 256, size=(2, 64, 64), dtype=np.uint8)
     x = (u8.astype(np.float32) / 255.0)[..., None]

@@ -130,13 +130,19 @@ def transform_params_dihedral(params, cfg: ModelConfig, k: int):
     (the measured cost of the view-batched ensemble).  Kernels get the
     inverse dihedral on their spatial dims; a stem>1 model additionally
     permutes the first conv's input channels (s2d block positions move
-    under rotation) and the head's output channels (d2s inverse)."""
+    under rotation) and the head's output channels (d2s inverse).
+
+    Covers the ``unet`` and ``attention_unet`` families (every stage entry
+    is a conv site; the attention gate's 1x1 convs are fixed points of the
+    spatial dihedral and its sigmoid-multiply is pointwise, hence
+    equivariant).  UNet++'s nested pytree is NOT handled — the engine
+    routes non-covered archs to the activation-space ensemble."""
     def tw(site):
         return {**site, "w": _kernel_dihedral_inv(site["w"], k)}
 
     out = {
         "encoder": [
-            {"conv1": tw(s["conv1"]), "conv2": tw(s["conv2"])}
+            {name: tw(site) for name, site in s.items()}
             for s in params["encoder"]
         ],
         "bottleneck": {
@@ -144,8 +150,7 @@ def transform_params_dihedral(params, cfg: ModelConfig, k: int):
             "conv2": tw(params["bottleneck"]["conv2"]),
         },
         "decoder": [
-            {"up": tw(s["up"]), "conv1": tw(s["conv1"]),
-             "conv2": tw(s["conv2"])}
+            {name: tw(site) for name, site in s.items()}
             for s in params["decoder"]
         ],
         "head": tw(params["head"]),
