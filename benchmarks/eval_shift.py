@@ -58,7 +58,7 @@ def main():
     report = {}
     host_s = jax.device_get(s_params)
 
-    for kind in ("lobulated", "crescent", "illum"):
+    for kind in ("lobulated", "crescent", "illum", "multiorgan"):
         rng = np.random.default_rng(zlib.crc32(kind.encode()) % 2**31)
         raws = np.empty((n, 512, 512), np.uint16)
         labels = np.empty((n, 512, 512), np.uint8)

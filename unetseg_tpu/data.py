@@ -76,7 +76,11 @@ def synth_slice_shifted(rng: np.random.Generator, size: int = 512,
     * ``crescent``  — ellipse minus a shifted ellipse: C-shaped structures
       (stomach/bowel-section-like) with concave boundary segments,
     * ``illum``     — standard ellipse under a strong linear illumination
-      gradient + coarse streak noise (scanner artifacts).
+      gradient + coarse streak noise (scanner artifacts),
+    * ``multiorgan`` — 2-3 disjoint bright organs of varying size (paired
+      structures / multi-section anatomy): the training family is always
+      single-organ, so this probes whether the model segments ALL bright
+      structures or has learned a one-organ prior.
 
     Returns (raw uint16, labels uint8) with the reference's class semantics.
     """
@@ -107,6 +111,16 @@ def synth_slice_shifted(rng: np.random.Generator, size: int = 512,
         u = (xx - cx) / rx
         v = (yy - cy) / ry
         organ = u * u + v * v <= 1.0
+    elif kind == "multiorgan":
+        organ = np.zeros((size, size), bool)
+        for _ in range(int(rng.integers(2, 4))):
+            ocy, ocx = rng.uniform(0.15, 0.85, 2) * size
+            ory, orx = rng.uniform(0.06, 0.16, 2) * size
+            th = rng.uniform(0, np.pi)
+            ct, st = np.cos(th), np.sin(th)
+            u = ((xx - ocx) * ct + (yy - ocy) * st) / orx
+            v = (-(xx - ocx) * st + (yy - ocy) * ct) / ory
+            organ |= u * u + v * v <= 1.0
     else:
         raise ValueError(f"unknown shift kind {kind!r}")
 
