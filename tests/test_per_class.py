@@ -107,3 +107,78 @@ def test_service_per_class_field(tmp_path):
         assert os.path.exists(str(tmp_path / "o" / "img_512_512_classes.json"))
     finally:
         svc.stop()
+
+
+def test_batched_per_class_matches_serial(tmp_path):
+    """process_batch(per_class=True) emits per-slice {base}_classes.json
+    byte-identical to the serial path's, for both emitters."""
+    from unetseg_tpu import checkpoint, engine
+    from unetseg_tpu.config import ModelConfig
+    from unetseg_tpu.io import raw as raw_io
+    from unetseg_tpu.models import registry
+
+    cfg = ModelConfig(base_channels=8, depth=2)
+    params = jax.jit(registry.init, static_argnums=(1,))(jax.random.key(2),
+                                                         cfg)
+    ckpt = str(tmp_path / "m.ckpt")
+    checkpoint.save(ckpt, jax.tree_util.tree_map(np.asarray, params), cfg)
+
+    rng = np.random.default_rng(9)
+    paths = []
+    for i in range(3):
+        raw, _ = data.synth_slice(rng, 512)
+        rp = str(tmp_path / f"s{i}_512_512.raw")
+        raw_io.write_raw(rp, raw)
+        paths.append(rp)
+    try:
+        assert engine.initialize_engine(ckpt, log_dir=str(tmp_path / "log"))
+        for f in paths:
+            assert engine.process_single_image(f, 512, 512,
+                                               str(tmp_path / "serial"),
+                                               per_class=True)
+        for emitter in ("cv2", "native"):
+            out = str(tmp_path / f"batched_{emitter}")
+            ok, fail = engine.process_batch(
+                paths, 512, 512, [out] * len(paths), batch_size=2,
+                emitter=emitter, per_class=True)
+            assert (ok, fail) == (3, 0)
+            for i in range(3):
+                got = open(os.path.join(out, f"s{i}_512_512_classes.json"),
+                           "rb").read()
+                want = open(str(tmp_path / "serial" /
+                                f"s{i}_512_512_classes.json"), "rb").read()
+                assert got == want, (emitter, i)
+    finally:
+        engine.cleanup_resources()
+
+
+def test_per_class_rejects_device_postprocess(tmp_path):
+    """All-device engines serve CLEANED masks — per-class extraction would
+    be silently wrong (class 1 erased), so both paths must refuse."""
+    from unetseg_tpu import checkpoint, engine
+    from unetseg_tpu.config import ModelConfig
+    from unetseg_tpu.io import raw as raw_io
+    from unetseg_tpu.models import registry
+
+    cfg = ModelConfig(base_channels=8, depth=2)
+    params = jax.jit(registry.init, static_argnums=(1,))(jax.random.key(3),
+                                                         cfg)
+    ckpt = str(tmp_path / "m.ckpt")
+    checkpoint.save(ckpt, jax.tree_util.tree_map(np.asarray, params), cfg)
+    raw, _ = data.synth_slice(np.random.default_rng(4), 512)
+    rp = str(tmp_path / "img_512_512.raw")
+    raw_io.write_raw(rp, raw)
+    try:
+        assert engine.initialize_engine(ckpt, log_dir=str(tmp_path / "log"),
+                                        device_postprocess=True)
+        # per-image isolation: the error is surfaced and the image fails
+        assert not engine.process_single_image(rp, 512, 512,
+                                               str(tmp_path / "o"),
+                                               per_class=True)
+        assert not os.path.exists(
+            str(tmp_path / "o" / "img_512_512_classes.json"))
+        with pytest.raises(ValueError, match="per_class"):
+            engine.process_batch([rp], 512, 512, [str(tmp_path / "o")],
+                                 per_class=True)
+    finally:
+        engine.cleanup_resources()

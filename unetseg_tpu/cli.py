@@ -47,7 +47,8 @@ def print_usage() -> None:
 
 def _process_directory(input_path: str, width: int, height: int,
                        output_dir: str, recursive: bool, batched: bool,
-                       fast_emit: bool = False, tier: str = "full") -> None:
+                       fast_emit: bool = False, tier: str = "full",
+                       per_class: bool = False) -> None:
     print(f"Processing directory: {input_path}")
     print(f"Recursive: {'Yes' if recursive else 'No'}")
 
@@ -69,12 +70,14 @@ def _process_directory(input_path: str, width: int, height: int,
     if batched:
         ok, fail = engine.process_batch(
             files, width, height, out_dirs,
-            emitter="native" if fast_emit else "cv2", tier=tier)
+            emitter="native" if fast_emit else "cv2", tier=tier,
+            per_class=per_class)
     else:
         ok = fail = 0
         for f, d in zip(files, out_dirs):
             print(f"\nProcessing: {f}")
-            if engine.process_single_image(f, width, height, d):
+            if engine.process_single_image(f, width, height, d,
+                                           per_class=per_class):
                 ok += 1
             else:
                 fail += 1
@@ -233,8 +236,7 @@ def repl(stdin=None) -> int:
                     # error, not silently drop (round-4 review finding)
                     dropped = [n for n, v in (("--tta", tta),
                                               ("--window", window),
-                                              ("--overlap", overlap),
-                                              ("--per-class", per_class))
+                                              ("--overlap", overlap))
                                if v]
                     if dropped:
                         print(f"Error: {dropped} not supported for "
@@ -243,7 +245,7 @@ def repl(stdin=None) -> int:
                         continue
                     _process_directory(
                         input_path, width, height, output_dir, recursive,
-                        batched, fast_emit, tier
+                        batched, fast_emit, tier, per_class
                     )
                 elif os.path.isfile(input_path):
                     dropped = [n for n, v in (("--batched", batched),

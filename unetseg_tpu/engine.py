@@ -796,6 +796,12 @@ def process_single_image(raw_path: str, width: int, height: int,
         eng = eng or get_engine()
         if eng is None:
             raise RuntimeError("Engine not initialized")
+        if per_class and eng.device_postprocess:
+            # the fused executable already erased class 1 ({0,2} cleanup);
+            # per-class shapes from a cleaned mask would be silently wrong
+            raise ValueError(
+                "per_class requires the host postprocess path "
+                "(initialize with device_postprocess=False)")
 
         base_name = os.path.splitext(os.path.basename(raw_path))[0]
         GLOBAL_LOG.write(
@@ -890,7 +896,8 @@ ARTIFACT_TIERS = ("full", "mask_json", "json")
 def process_batch(raw_paths: List[str], width: int, height: int,
                   output_dirs: List[str], batch_size: int = 128,
                   eng: Optional[InferenceEngine] = None,
-                  emitter: str = "cv2", tier: str = "full") -> Tuple[int, int]:
+                  emitter: str = "cv2", tier: str = "full",
+                  per_class: bool = False) -> Tuple[int, int]:
     """Batched pipeline over same-sized RAW slices.
 
     Host loads + device-fused preprocess + batched UNet + postprocess, with
@@ -910,12 +917,23 @@ def process_batch(raw_paths: List[str], width: int, height: int,
     ``tier`` selects the artifact set (ARTIFACT_TIERS): "full" = all five
     reference artifacts; "mask_json" drops the normalized/overlay PNGs;
     "json" keeps only the two JSONs.  Both emitters honor it.
+
+    ``per_class=True`` additionally emits ``{base}_classes.json`` per slice
+    (labelme shapes for EVERY class, extracted from the decoded pre-cleanup
+    mask — see :func:`_emit_per_class_json`); a per-class emit failure
+    marks that slice failed.
     """
     eng = eng or get_engine()
     if eng is None:
         raise RuntimeError("Engine not initialized")
     if tier not in ARTIFACT_TIERS:
         raise ValueError(f"tier must be one of {ARTIFACT_TIERS}, got {tier!r}")
+    if per_class and eng.device_postprocess:
+        # the fused executable returns CLEANED masks ({0,2}); class-1
+        # regions no longer exist, so per-class shapes would be silently
+        # wrong rather than merely incomplete
+        raise ValueError("per_class requires the host postprocess path "
+                         "(initialize with device_postprocess=False)")
     use_native = emitter == "native" and native.emit_slice_available()
     native_tier = {"full": native.TIER_FULL,
                    "mask_json": native.TIER_MASK_JSON,
@@ -928,6 +946,20 @@ def process_batch(raw_paths: List[str], width: int, height: int,
     def drain(entry):
         nonlocal n_ok, n_fail
         masks, u8s, metas = entry
+        pc_failed = set()
+        if per_class:
+            # decoded PRE-cleanup masks: class-1 regions exist only here
+            dec = np.asarray(masks)
+            for k, (path, out_dir) in enumerate(metas):
+                try:
+                    os.makedirs(out_dir, exist_ok=True)
+                    _emit_per_class_json(
+                        dec[k], out_dir,
+                        os.path.splitext(os.path.basename(path))[0],
+                        width, height)
+                except Exception as e:
+                    print(f"Processing error: {e}")
+                    pc_failed.add(k)
         masks = eng.cleanup_masks(masks)
         if use_native:
             dirs = [d for _, d in metas]
@@ -940,10 +972,15 @@ def process_batch(raw_paths: List[str], width: int, height: int,
                 np.asarray(masks[: len(metas)]), dirs, bases,
                 [os.path.basename(p) for p, _ in metas], width, height,
                 native_tier)
-            n_ok += int(np.sum(counts >= 0))
-            n_fail += int(np.sum(counts < 0))
+            slice_ok = [counts[k] >= 0 and k not in pc_failed
+                        for k in range(len(metas))]
+            n_ok += sum(slice_ok)
+            n_fail += len(metas) - sum(slice_ok)
             return
         for k, (path, out_dir) in enumerate(metas):
+            if k in pc_failed:
+                n_fail += 1
+                continue
             try:
                 base = os.path.splitext(os.path.basename(path))[0]
                 os.makedirs(out_dir, exist_ok=True)

@@ -356,8 +356,8 @@ class SegmentationService:
         # (round-4 review: a directory request with tta=true got no TTA
         # and an ok:true response).
         if os.path.isdir(path):
-            unsupported = [k for k in ("tta", "window", "overlap",
-                                       "per_class") if req.get(k)]
+            unsupported = [k for k in ("tta", "window", "overlap")
+                           if req.get(k)]
             if unsupported:
                 return {"ok": False,
                         "error": f"directory requests do not support "
@@ -395,7 +395,7 @@ class SegmentationService:
                     ]
                     n_ok, n_fail = engine.process_batch(
                         files, width, height, out_dirs, eng=eng,
-                        emitter=emitter, tier=tier)
+                        emitter=emitter, tier=tier, per_class=per_class)
                     with self._count_lock:
                         self._n_processed += n_ok
                     return {"ok": n_fail == 0, "processed": n_ok,
