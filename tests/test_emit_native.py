@@ -187,6 +187,53 @@ def test_run_study_artifact_tiers(tmp_path):
                       out_dir=out_dir)  # host_preprocess required
 
 
+def test_run_study_per_class_matches_engine(tmp_path):
+    """run_study(per_class=True) emits {base}_classes.json byte-identical
+    to the engine's serial per-class artifact (decoded PRE-cleanup mask)."""
+    import jax
+
+    from unetseg_tpu import checkpoint, engine
+    from unetseg_tpu.config import ModelConfig
+    from unetseg_tpu.io import raw as raw_io
+    from unetseg_tpu.models import registry as model_registry
+    from unetseg_tpu.parallel import pipeline as ppl
+
+    rng = np.random.default_rng(31)
+    paths = []
+    for i in range(3):
+        raw, _ = data.synth_slice(rng, 512)
+        p = str(tmp_path / f"sl{i}_512_512.raw")
+        raw_io.write_raw(p, raw)
+        paths.append(p)
+
+    cfg = ModelConfig(base_channels=8, depth=2)
+    params = jax.jit(model_registry.init, static_argnums=(1,))(
+        jax.random.key(4), cfg)
+    out_dir = str(tmp_path / "out")
+    res = ppl.run_study(params, cfg, paths, 512, 512, batch_size=2,
+                        host_preprocess=True, artifacts="json",
+                        out_dir=out_dir, per_class=True)
+    assert res.n_slices == 3
+
+    ckpt = str(tmp_path / "m.ckpt")
+    checkpoint.save(ckpt, jax.tree_util.tree_map(np.asarray, params), cfg)
+    try:
+        assert engine.initialize_engine(ckpt, log_dir=str(tmp_path / "log"))
+        for i, p in enumerate(paths):
+            assert engine.process_single_image(p, 512, 512,
+                                               str(tmp_path / "serial"),
+                                               per_class=True)
+            got = open(out_dir + f"/sl{i}_512_512_classes.json", "rb").read()
+            want = open(str(tmp_path / "serial" /
+                            f"sl{i}_512_512_classes.json"), "rb").read()
+            assert got == want, i
+    finally:
+        engine.cleanup_resources()
+    with pytest.raises(ValueError, match="per_class"):
+        ppl.run_study(params, cfg, paths, 512, 512, host_preprocess=True,
+                      per_class=True)  # artifacts required
+
+
 def test_process_batch_native_emitter_matches_cv2(tmp_path):
     """engine.process_batch(emitter='native') must produce pixel-identical
     PNGs and byte-identical JSONs to the default cv2 path (overlay bytes

@@ -164,6 +164,7 @@ def run_study(
     host_preprocess: bool = False,
     artifacts: Optional[str] = None,
     out_dir: Optional[str] = None,
+    per_class: bool = False,
 ) -> StudyResult:
     """Run a whole study (stack of same-sized slices) through the pipeline.
 
@@ -180,6 +181,11 @@ def run_study(
     ``host_preprocess=True`` (the emitter needs the normalized u8 on host).
     This replaces ~32 ms/slice of cv2+Python emission with 0.7-5.3 ms of
     C++ (VERDICT r3 item 2).
+
+    ``per_class=True`` (requires ``artifacts``) additionally emits
+    ``{base}_classes.json`` per slice from the decoded PRE-cleanup mask
+    (engine._emit_per_class_json semantics — class-1 regions exist only
+    before the cleanup's {0,2} remap).
     """
     size = cfg.image_size
     if emitter_threads is None:
@@ -200,6 +206,9 @@ def run_study(
                 "artifact emission requires libunetseg_host.so with the "
                 "emit entry points (make -C csrc)")
         os.makedirs(out_dir, exist_ok=True)
+    if per_class and tier is None:
+        raise ValueError("per_class requires artifacts emission "
+                         "(pass artifacts=/out_dir=)")
     # host_preprocess: run the bit-exact C++ resample+quantize in the loader
     # threads and ship u8 — halves H2D bytes (2x study throughput where the
     # host->device link binds) and makes the normalized artifact the
@@ -248,9 +257,24 @@ def run_study(
                 [os.path.basename(p) for p in paths],
                 width, height, tier)
 
+        def emit_per_class(decoded, idxs):
+            from unetseg_tpu.engine import _emit_per_class_json
+
+            for j, k in enumerate(idxs):
+                base = os.path.splitext(
+                    os.path.basename(slice_paths[k]))[0]
+                _emit_per_class_json(decoded[j], out_dir, base,
+                                     width, height)
+
         def drain(entry):
             u8_entry, masks_dev, idxs = entry
             packed_or_full = np.asarray(masks_dev)
+            if per_class:
+                decoded = (_unpack_mask2(packed_or_full) if pack
+                           else packed_or_full)
+                emit_futures.append(
+                    emitters.submit(emit_per_class,
+                                    decoded[: len(idxs)], idxs))
             if pack:
                 masks = native.postprocess_packed_batch(packed_or_full, size)
             else:
