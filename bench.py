@@ -5,8 +5,9 @@ Measures the dense device path the framework deploys — u8 normalize ->
 UNet -> argmax decode — as one XLA executable at the serving batch (128,
 the measured dispatch-amortization sweet spot), on whatever backend JAX
 selects (the driver runs this on one real TPU chip).  The serving model is
-`checkpoint.load_serving`'s pick (slim4 specialist > slim4 robust > gen-1
-slim > flagship teacher — the single-sourced policy all benchmarks share),
+`checkpoint.load_serving`'s pick (slim5 if shipped > slim4 specialist >
+slim4 robust > gen-1 slim > flagship teacher — the single-sourced policy
+all benchmarks share),
 falling back to random init when no checkpoint exists.  Mask cleanup runs
 on the host in production, pipelined off the device's critical path (see
 the comment in main()).
@@ -130,7 +131,7 @@ def main() -> int:
 
     # --- accuracy + parity on held-out synthetic slices --------------------
     fg_iou = fg_min = parity = agreement = agreement_min = None
-    hd95_max = assd_mean = None
+    hd95_max = assd_mean = boundary_misses = None
     if serving != "random-init":
         from unetseg_tpu import data, metrics
 
@@ -149,10 +150,14 @@ def main() -> int:
         bds = [metrics.boundary_distances(pred[i], labels[i])
                for i in range(len(labels))]
         finite = [d for d in bds if np.isfinite(d["hd95"])]
+        # a slice with NO predicted foreground has no finite boundary
+        # distance; count it separately instead of conflating it with
+        # "metric not computed" (null) — the max/mean cover finite slices
+        boundary_misses = len(bds) - len(finite)
         hd95_max = (float(max(d["hd95"] for d in finite))
-                    if len(finite) == len(bds) else None)
+                    if finite else None)
         assd_mean = (float(np.mean([d["assd"] for d in finite]))
-                     if len(finite) == len(bds) else None)
+                     if finite else None)
 
         # parity vs the reference twin (full pipeline, same checkpoint),
         # at a non-trivial original resolution to exercise the truncating
@@ -229,6 +234,7 @@ def main() -> int:
         "hd95_max_px": (round(hd95_max, 2) if hd95_max is not None else None),
         "assd_mean_px": (round(assd_mean, 3)
                          if assd_mean is not None else None),
+        "boundary_miss_count": boundary_misses,
         "gate_fg_iou_min": (None if fg_min is None
                             else bool(fg_min >= 0.999)),
         "gate_throughput_10x": bool(slices_per_sec >= 10 * baseline),

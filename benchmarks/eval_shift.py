@@ -87,14 +87,15 @@ def main():
 
         bds = [metrics.boundary_distances(ps[i], labels[i])
                for i in range(n)]
-        hd95s = [d["hd95"] for d in bds]
-        hd95_max = (round(float(np.max(hd95s)), 2)
-                    if np.all(np.isfinite(hd95s)) else None)
+        hd95s = [d["hd95"] for d in bds if np.isfinite(d["hd95"])]
+        misses = n - len(hd95s)  # slices with no predicted fg (inf distance)
+        hd95_max = round(float(np.max(hd95s)), 2) if hd95s else None
 
         report[kind] = {
             "student_fg_iou": round(float(np.mean(s_iou)), 5),
             "student_fg_iou_min": round(float(np.min(s_iou)), 5),
             "student_hd95_max_px": hd95_max,
+            "student_boundary_misses": misses,
             "teacher_fg_iou": round(float(np.mean(t_iou)), 5),
             "teacher_fg_iou_min": round(float(np.min(t_iou)), 5),
             "student_teacher_agreement": round(float(np.mean(agree)), 5),

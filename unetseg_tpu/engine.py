@@ -978,10 +978,10 @@ def process_batch(raw_paths: List[str], width: int, height: int,
             n_fail += len(metas) - sum(slice_ok)
             return
         for k, (path, out_dir) in enumerate(metas):
-            if k in pc_failed:
-                n_fail += 1
-                continue
             try:
+                # a per-class emit failure marks the slice failed but does
+                # NOT suppress its regular artifacts — matching the native
+                # emitter, whose batched call has already written them
                 base = os.path.splitext(os.path.basename(path))[0]
                 os.makedirs(out_dir, exist_ok=True)
                 normalized_png = os.path.join(out_dir, base + "_normalized.png")
@@ -996,7 +996,10 @@ def process_batch(raw_paths: List[str], width: int, height: int,
                                   vis, compression=0)
                 _polygonize(vis, out_dir, base, width, height, normalized_png,
                             overlay=tier == "full")
-                n_ok += 1
+                if k in pc_failed:
+                    n_fail += 1
+                else:
+                    n_ok += 1
             except Exception as e:
                 print(f"Processing error: {e}")
                 n_fail += 1

@@ -29,9 +29,10 @@ Two deliberate departures from the paper, both TPU-motivated:
   bf16 compute with float32 logits, static unrolled stage loop, optional
   space-to-depth ``stem`` (the serving-geometry lever) and subpixel head.
 
-Everything downstream (engine, batch/TTA/tiled pipelines, training,
-checkpointing, quantization calibration) dispatches on ``cfg.arch`` and
-works with this family unchanged.
+Everything downstream that dispatches on ``cfg.arch`` (engine,
+batch/TTA/tiled pipelines, training, checkpointing) works with this
+family unchanged.  PTQ quantization (``quantize.py``) remains
+plain-UNet-only — its conv-site walk hard-codes that layout.
 """
 
 from __future__ import annotations
