@@ -275,7 +275,12 @@ def test_tta_batch_matches_per_slice(params):
                 image_size=64, compute_dtype="float32"),
     ModelConfig(arch="attention_unet", stem=2, depth=2, base_channels=8,
                 image_size=64, compute_dtype="float32"),
-], ids=["plain", "stem2", "stem4", "att", "att_stem2"])
+    ModelConfig(arch="unetpp", depth=2, base_channels=8, image_size=64,
+                compute_dtype="float32"),
+    ModelConfig(arch="unetpp", depth=2, base_channels=8, image_size=64,
+                compute_dtype="float32", deep_supervision=True),
+], ids=["plain", "stem2", "stem4", "att", "att_stem2", "unetpp",
+        "unetpp_ds"])
 def test_weightspace_tta_matches_activation_tta(cfg):
     """Dihedral equivariance: 8 transformed-weight passes over the SAME
     input == the activation-space 8-view ensemble (logit-level check via

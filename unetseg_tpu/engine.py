@@ -432,13 +432,13 @@ class InferenceEngine:
     def infer_tta(self, u8_2d: np.ndarray) -> jax.Array:
         """8-fold dihedral TTA ensemble on one slice (BASELINE config 5).
 
-        The UNet and Attention-UNet families are served by the weight-space
-        formulation (tta.py: equivariance turns the 8 views into 8
-        transformed-weight passes over untransposed activations — measured
-        faster and bit-identical masks; the attention gate's 1x1 convs are
-        dihedral fixed points).  Other registered archs (unetpp, unet_w8a8)
-        keep the registry-dispatched activation-space ensemble, whose
-        params the weight transform does not know how to rewrite."""
+        Every float family (unet, attention_unet, unetpp) is served by the
+        weight-space formulation (tta.py: equivariance turns the 8 views
+        into 8 transformed-weight passes over untransposed activations —
+        measured faster and bit-identical masks; per-family equivalence
+        pinned in tests/test_parallel.py).  Quantized archs (unet_w8a8)
+        keep the registry-dispatched activation-space ensemble — their
+        scale tables are not spatial-transform-aware."""
         key = ("tta", u8_2d.shape)
         if key not in self._compiled:
             from unetseg_tpu.parallel import tta
@@ -448,7 +448,7 @@ class InferenceEngine:
             # the UNet family stacks its 8 weight variants over dp (one
             # variant per chip at dp=8); other archs shard the 8-view batch.
             n_dp = self.mesh.shape["dp"] if self.mesh is not None else 1
-            ws_archs = ("unet", "attention_unet")
+            ws_archs = ("unet", "attention_unet", "unetpp")
             if self.cfg.arch in ws_archs and self.mesh is not None \
                     and tta.N_TRANSFORMS % n_dp == 0:
                 self._compiled[key] = (

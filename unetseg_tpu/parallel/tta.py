@@ -132,29 +132,29 @@ def transform_params_dihedral(params, cfg: ModelConfig, k: int):
     permutes the first conv's input channels (s2d block positions move
     under rotation) and the head's output channels (d2s inverse).
 
-    Covers the ``unet`` and ``attention_unet`` families (every stage entry
-    is a conv site; the attention gate's 1x1 convs are fixed points of the
-    spatial dihedral and its sigmoid-multiply is pointwise, hence
-    equivariant).  UNet++'s nested pytree is NOT handled — the engine
-    routes non-covered archs to the activation-space ensemble."""
+    Covers every float family (``unet``, ``attention_unet``, ``unetpp``)
+    via a generic pytree walk: any dict holding a rank-4 ``w`` is a conv
+    site whose spatial dims get the inverse dihedral; everything those
+    families compose between convs (ReLU/sigmoid/multiply pointwise ops,
+    pool, concat, transposed conv, s2d/d2s, head means) is
+    dihedral-equivariant, and 1x1 kernels are fixed points so gate/head
+    sites transform as no-ops.  Equivalence against the activation-space
+    ensemble is pinned per family in tests/test_parallel.py.  Quantized
+    archs (``unet_w8a8``) stay on the activation-space ensemble — their
+    per-channel scale tables are not spatial-transform-aware."""
     def tw(site):
         return {**site, "w": _kernel_dihedral_inv(site["w"], k)}
 
-    out = {
-        "encoder": [
-            {name: tw(site) for name, site in s.items()}
-            for s in params["encoder"]
-        ],
-        "bottleneck": {
-            "conv1": tw(params["bottleneck"]["conv1"]),
-            "conv2": tw(params["bottleneck"]["conv2"]),
-        },
-        "decoder": [
-            {name: tw(site) for name, site in s.items()}
-            for s in params["decoder"]
-        ],
-        "head": tw(params["head"]),
-    }
+    def walk(node):
+        if isinstance(node, dict):
+            if "w" in node and getattr(node["w"], "ndim", 0) == 4:
+                return tw(node)
+            return {name: walk(v) for name, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    out = walk(params)
     if cfg.stem > 1:
         import numpy as np
 
