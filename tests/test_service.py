@@ -1,5 +1,6 @@
 """TCP serving daemon: the REPL grammar over newline-delimited JSON."""
 
+import json
 import os
 
 import numpy as np
@@ -346,3 +347,29 @@ def test_service_rejects_silently_dropped_fields(svc):
         "width": 90, "height": 70, "output_dir": str(tmp_path / "o2"),
         "tier": "json"})
     assert r["ok"]
+
+
+def test_service_garbage_frames_survive():
+    """Raw non-JSON / non-UTF8 frames get error responses and the
+    connection (and daemon) survive for subsequent valid requests."""
+    import socket
+
+    s = service.SegmentationService(port=0)
+    host, port = s.start()
+    try:
+        with socket.create_connection((host, port), timeout=10) as sock:
+            f = sock.makefile("rwb")
+            for junk in (b"\xff\xfe\x00binary junk", b"{not json",
+                         b"[1, 2,", b'"just a string"'):
+                f.write(junk + b"\n")
+                f.flush()
+                resp = json.loads(f.readline())
+                # a bare JSON string parses but is not a request object;
+                # either way the contract is an error response, not a drop
+                assert resp["ok"] is False and "error" in resp
+            f.write(json.dumps({"cmd": "status"}).encode() + b"\n")
+            f.flush()
+            resp = json.loads(f.readline())
+            assert resp["ok"] and not resp["initialized"]
+    finally:
+        s.stop()
