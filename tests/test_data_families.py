@@ -78,6 +78,37 @@ def test_real_mri_pool_contract():
             assert np.array_equal(arr, base[o:o + c, o:o + c])
 
 
+def test_real_mri_mosaic_contract():
+    base = _require_real()
+    m = data.real_mri_mosaic(2)
+    assert m.shape == (512, 512) and m.dtype == np.uint16
+    assert m.flags.c_contiguous
+    # top-left tile is the identity orientation, byte-for-byte real pixels
+    assert np.array_equal(m[:256, :256], base)
+    # deterministic
+    assert np.array_equal(m, data.real_mri_mosaic(2))
+    m3 = data.real_mri_mosaic(3)
+    assert m3.shape == (768, 768)
+
+
+def test_real_mri_512_contract():
+    base = _require_real()
+    big = data.real_mri_512()
+    assert big.shape == (512, 512) and big.dtype == np.uint16
+    assert big.flags.c_contiguous
+    # the 512->512 identity grid of the oracle preprocess makes the two
+    # quantizations comparable: u8(oracle(base)) and u8(oracle(big)) may
+    # differ only by the u16 rounding (<= 1 LSB after the 255/(mx-mn) scale)
+    from unetseg_tpu.ops.preprocess import preprocess_oracle_u8
+
+    a = preprocess_oracle_u8(base, 512)
+    b = preprocess_oracle_u8(big, 512)
+    assert int(np.abs(a.astype(np.int16) - b.astype(np.int16)).max()) <= 1
+    # even output positions sample the source grid exactly (step = 0.5)
+    assert np.array_equal(big[::2, ::2], base)
+    assert np.array_equal(big, data.real_mri_512())
+
+
 def test_real_mri_through_bitexact_preprocess():
     # the real intensity distribution must flow through the bit-exact
     # native preprocess identically to the float64 oracle (the parity

@@ -216,6 +216,65 @@ def real_mri_pool():
     return pool
 
 
+def real_mri_mosaic(grid: int = 2):
+    """A (grid*256)² u16 mosaic of dihedral variants of the real MR slice.
+
+    Every pixel is genuine anatomy (no resampling/synthesis).  NOTE: this is
+    a multi-organ frame, and the reference's mask cleanup erases connected
+    components below 6% of the FRAME area (src/postprocess.cpp:47-79 via
+    MIN_AREA_RATIO) — at grid=2 each head's surviving region (~4% of the
+    512² frame) falls below that floor, so the product correctly emits an
+    empty mask / no contours.  Used to PIN that semantic
+    (benchmarks/eval_real.py stage E); for exercising the sliding-window
+    blend on real pixels use :func:`real_mri_512`.  Deterministic; ``None``
+    when the sample is unavailable.
+    """
+    base = real_mri_slice()
+    if base is None:  # pragma: no cover
+        return None
+    variants = []
+    for k in range(4):
+        r = np.rot90(base, k)
+        variants.append(r)
+        variants.append(np.fliplr(r))
+    rows = [np.concatenate([variants[(r * grid + c) % len(variants)]
+                            for c in range(grid)], axis=1)
+            for r in range(grid)]
+    return np.ascontiguousarray(np.concatenate(rows, axis=0))
+
+
+def real_mri_512():
+    """The real MR slice at 512², via the reference's own resample.
+
+    Bilinear upscale with the truncating float64 grid of
+    src/preprocess.cpp:82-115 (the exact transform the product applies to
+    every 256² input on its way to the model), rounded back to uint16
+    instead of quantized to uint8.  This is the canonical way to get a
+    512² real-anatomy image for the native-resolution sliding-window path:
+    the content matches what the full-frame serial path infers on, so
+    window-blend output is directly comparable to the serial polygons.
+    Deterministic; ``None`` when the sample is unavailable.
+    """
+    base = real_mri_slice()
+    if base is None:  # pragma: no cover
+        return None
+    # truncating bilinear grid (preprocess.cpp:82-83 semantics)
+    step = 256 / 512
+    f = np.arange(512, dtype=np.float64) * step
+    i0 = f.astype(np.int64)
+    i1 = np.minimum(i0 + 1, 255)
+    d = f - i0
+    src = base.astype(np.float64)
+    v00 = src[np.ix_(i0, i0)]
+    v01 = src[np.ix_(i0, i1)]
+    v10 = src[np.ix_(i1, i0)]
+    v11 = src[np.ix_(i1, i1)]
+    dx, dy = d[None, :], d[:, None]
+    v = (((1 - dx) * (1 - dy)) * v00 + (dx * (1 - dy)) * v01
+         + ((1 - dx) * dy) * v10 + (dx * dy) * v11)
+    return np.floor(v + 0.5).astype(np.uint16)
+
+
 def training_batch(rng: np.random.Generator, n: int, size: int = 512,
                    r_range: Tuple[float, float] = (0.12, 0.3),
                    slice_fn=None):
