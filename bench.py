@@ -50,6 +50,36 @@ def _polygons_from_pipeline(mask_vis: np.ndarray, orig_w: int, orig_h: int):
 
 
 def main() -> int:
+    # Watchdog over device setup + first execution: a wedged device tunnel
+    # passes device enumeration but hangs execution (and even backend init)
+    # indefinitely — observed 2026-08-18, 6+ h backend-UNAVAILABLE window.
+    # Hanging forever gives the harness nothing; emit one honest
+    # machine-readable error line and exit non-zero instead.  Generous
+    # deadline: a cold persistent cache legitimately spends minutes
+    # compiling through the remote helper.  Armed BEFORE the first jax
+    # import: the backend-register hook itself can hang on a wedged relay.
+    import threading
+
+    warm_done = threading.Event()
+    deadline_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "600"))
+
+    def _watchdog():
+        if not warm_done.wait(deadline_s):
+            print(json.dumps({
+                "metric": ("512^2 slices/sec/chip (fused normalize+UNet+"
+                           "argmax device pipeline)"),
+                "value": 0.0, "unit": "slices/sec", "vs_baseline": 0.0,
+                "error": (f"device backend unresponsive: setup + first "
+                          f"execution did not complete within "
+                          f"{deadline_s:.0f}s (tunnel/device outage, not a "
+                          "framework regression — last validated real-TPU "
+                          "numbers: docs/PERFORMANCE.md headline, "
+                          "benchmarks/results_r4_tpu.json)"),
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
 
@@ -98,8 +128,9 @@ def main() -> int:
         # (observed on axon); fetching one element forces real completion.
         return int(out[0, 0, 0])
 
-    # warmup / compile
+    # warmup / compile (disarms the backend watchdog armed at main() entry)
     sync(pipeline(params, u8))
+    warm_done.set()
     sync(pipeline(params, u8))
 
     iters = 20
