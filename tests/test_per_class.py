@@ -80,6 +80,50 @@ def test_engine_per_class_artifact(tmp_path):
         engine.cleanup_resources()
 
 
+def test_engine_per_class_composes_with_tta_and_window(tmp_path):
+    """per_class composes with the other inference modes: the class JSON is
+    emitted from the decoded (pre-cleanup) mask whichever path produced it
+    (engine.py runs _emit_per_class_json before cleanup_masks for the
+    plain, TTA, and sliding-window branches alike)."""
+    from unetseg_tpu import checkpoint, engine
+    from unetseg_tpu.config import ModelConfig
+    from unetseg_tpu.io import raw as raw_io
+    from unetseg_tpu.models import registry
+
+    cfg = ModelConfig(base_channels=8, depth=2)
+    params = jax.jit(registry.init, static_argnums=(1,))(jax.random.key(2),
+                                                         cfg)
+    ckpt = str(tmp_path / "m.ckpt")
+    checkpoint.save(ckpt, jax.tree_util.tree_map(np.asarray, params), cfg)
+    raw, _ = data.synth_slice(np.random.default_rng(7), 256)
+    rp = str(tmp_path / "img_256_256.raw")
+    raw_io.write_raw(rp, raw)
+
+    def check(doc):
+        assert doc["imageWidth"] == 256 and doc["imageHeight"] == 256
+        for shape in doc["shapes"]:
+            assert shape["label"] in (1, 2)
+            assert shape["labelIndex"] == {1: 0, 2: 1}[shape["label"]]
+            for x, y in shape["points"]:
+                assert isinstance(x, int) and 0 <= x < 256
+                assert isinstance(y, int) and 0 <= y < 256
+
+    try:
+        assert engine.initialize_engine(ckpt, log_dir=str(tmp_path / "log"))
+        assert engine.process_single_image(rp, 256, 256,
+                                           str(tmp_path / "t"),
+                                           tta=True, per_class=True)
+        check(json.loads(open(
+            str(tmp_path / "t" / "img_256_256_classes.json")).read()))
+        assert engine.process_single_image(rp, 256, 256,
+                                           str(tmp_path / "w"),
+                                           window=128, per_class=True)
+        check(json.loads(open(
+            str(tmp_path / "w" / "img_256_256_classes.json")).read()))
+    finally:
+        engine.cleanup_resources()
+
+
 def test_service_per_class_field(tmp_path):
     """The service's process request forwards per_class to the engine."""
     from unetseg_tpu import checkpoint, service
