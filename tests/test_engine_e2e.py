@@ -285,6 +285,34 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
 
 
+def test_train_state_tolerates_newer_config_fields(tmp_path):
+    """load_state shares checkpoint.load's forward-compat config parsing:
+    a train state written by a build with an extra ModelConfig field loads
+    with a warning instead of a raw TypeError (round-4 review finding —
+    the two loaders had diverged)."""
+    import jax
+    from flax import serialization
+
+    from unetseg_tpu import train
+
+    cfg = SMALL
+    tx = train.make_optimizer(lr=1e-3, total_steps=10)
+    state = train.init_state(jax.random.key(0), cfg, tx)
+    path = tmp_path / "train.ckpt"
+    train.save_state(str(path), state, cfg)
+
+    blob = path.read_bytes()
+    assert blob[:11] == b"UTPUTRAIN1\n"
+    data = serialization.msgpack_restore(blob[11:])
+    data["config"]["future_knob"] = 7  # field from a newer build
+    path.write_bytes(b"UTPUTRAIN1\n" + serialization.msgpack_serialize(data))
+
+    with pytest.warns(UserWarning, match="future_knob"):
+        restored, cfg2 = train.load_state(str(path), tx)
+    assert cfg2 == cfg
+    assert int(restored.step) == 0
+
+
 def test_study_sharding_roundrobin():
     from unetseg_tpu.parallel import distributed
 

@@ -122,3 +122,5 @@ def test_supports_gating():
     assert not unet_fused.supports(ModelConfig(image_size=64))  # 68 % 12 != 0
     assert not unet_fused.supports(ModelConfig(arch="unetpp"))
     assert not unet_fused.supports(ModelConfig(num_classes=4))
+    # stem>1 checkpoints must fall back: conv1_l_from_u8 hard-codes Cin=1
+    assert not unet_fused.supports(ModelConfig(stem=4))

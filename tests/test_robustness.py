@@ -63,6 +63,72 @@ def test_batch_continues_past_bad_file(eng, tmp_path):
     assert not (tmp_path / "o" / "b_mask.png").exists()
 
 
+def test_batched_continues_past_bad_file(eng, tmp_path):
+    """process_batch honors the same per-image isolation as the serial loop
+    (docstring contract, src/main.cpp:159-163): a truncated file drops only
+    that slice.  Previously the loader exception aborted the whole batch
+    (round-4 review finding)."""
+    good1 = tmp_path / "a.raw"
+    bad = tmp_path / "b.raw"
+    good2 = tmp_path / "c.raw"
+    _raw(good1, seed=1)
+    bad.write_bytes(b"\x00" * 10)  # truncated
+    _raw(good2, seed=2)
+    out = tmp_path / "o"
+    n_ok, n_fail = engine.process_batch(
+        [str(good1), str(bad), str(good2)], 64, 64, [str(out)] * 3)
+    assert (n_ok, n_fail) == (2, 1)
+    assert (out / "a_mask.png").exists()
+    assert (out / "c_mask.png").exists()
+    assert not (out / "b_mask.png").exists()
+    # artifacts byte-match the serial path for the surviving slices
+    out_serial = tmp_path / "s"
+    assert engine.process_single_image(str(good1), 64, 64, str(out_serial))
+    for suffix in ("_mask.png", ".json"):
+        assert (out / ("a" + suffix)).read_bytes() == \
+            (out_serial / ("a" + suffix)).read_bytes()
+
+    # an all-bad chunk fails cleanly too
+    n_ok, n_fail = engine.process_batch(
+        [str(bad), str(bad)], 64, 64, [str(out)] * 2)
+    assert (n_ok, n_fail) == (0, 2)
+
+
+def test_failed_reinit_never_leaves_stale_engine(tmp_path):
+    """EVERY initialize_engine failure path leaves nothing servable — the
+    early returns (missing cache file) included, not just the late ones
+    (round-4 review finding: a typo'd re-init kept serving checkpoint A
+    while reporting failure)."""
+    cache = tmp_path / "m.ckpt"
+    checkpoint.create(str(cache), SMALL, seed=0)
+    try:
+        assert engine.initialize_engine(str(cache))
+        assert engine.get_engine() is not None
+        assert not engine.initialize_engine(str(tmp_path / "typo.ckpt"))
+        assert engine.get_engine() is None
+        rp = tmp_path / "x.raw"
+        _raw(rp)
+        assert not engine.process_single_image(str(rp), 64, 64,
+                                               str(tmp_path / "o"))
+    finally:
+        engine.cleanup_resources()
+
+
+def test_device_trace_propagates_body_error(tmp_path):
+    """device_trace swallows profiler start/stop failures only; the traced
+    body's own exception must surface unchanged (round-4 review finding:
+    a second yield in the except handler turned body errors into
+    contextlib RuntimeErrors)."""
+    from unetseg_tpu.utils.profiling import device_trace
+
+    with pytest.raises(ValueError, match="boom"):
+        with device_trace(None):
+            raise ValueError("boom")
+    with pytest.raises(ValueError, match="boom"):
+        with device_trace(str(tmp_path / "trace")):
+            raise ValueError("boom")
+
+
 def test_concurrent_process_calls(eng, tmp_path):
     """Two threads through the full pipeline: the reference's shared static
     staging buffers would race here; our functional path must not."""

@@ -315,6 +315,29 @@ def test_service_partitioned_concurrent_clients(tmp_path):
     assert s._engines == []  # stop() drained the pool
 
 
+def test_service_forwards_overlap_zero(svc, monkeypatch):
+    """overlap=0 (non-overlapping sliding windows) is a valid request and
+    must reach the engine as 0, not be rewritten to the window/2 default
+    by a truthiness test (round-4 review finding)."""
+    s, addr, tmp_path = svc
+    captured = {}
+
+    def fake_process(path, width, height, out_dir, *, tta=False,
+                     window=None, overlap=None, per_class=False, eng=None):
+        captured.update(window=window, overlap=overlap)
+        return True
+
+    monkeypatch.setattr(engine, "get_engine", lambda: object())
+    monkeypatch.setattr(engine, "process_single_image", fake_process)
+    rp = str(tmp_path / "img.raw")
+    raw_io.write_raw(rp, np.zeros((64, 64), np.uint16))
+    resp = service.request(addr, {
+        "cmd": "process", "path": rp, "width": 64, "height": 64,
+        "output_dir": str(tmp_path / "o"), "window": 64, "overlap": 0})
+    assert resp["ok"], resp
+    assert captured == {"window": 64, "overlap": 0}
+
+
 def test_service_rejects_silently_dropped_fields(svc):
     """Fields only one path type honors must error, not drop (round-4
     review: directory + tta:true produced un-TTA'd masks with ok:true)."""

@@ -11,9 +11,9 @@ Public entry points mirror the reference's (include/initialize.h:12,
 include/process.h:29, include/cleanup.h:7):
 
     from unetseg_tpu import engine
-    engine.initialize(cache_path)
-    engine.process(image_path, width, height, output_dir)
-    engine.cleanup()
+    engine.initialize_engine(cache_path)
+    engine.process_single_image(image_path, width, height, output_dir)
+    engine.cleanup_resources()
 """
 
 __version__ = "0.1.0"

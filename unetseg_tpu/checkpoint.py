@@ -56,23 +56,32 @@ def load(path: str) -> Tuple[dict, ModelConfig]:
             raise ValueError(f"Not a unetseg_tpu checkpoint: {path}")
         blob = f.read()
     data = serialization.msgpack_restore(blob)
-    # Same-magic forward compatibility: config fields are added without a
-    # MAGIC bump (stem/arch/deep_supervision all were), so a checkpoint
-    # from a build with an extra field must not die in a raw TypeError —
-    # drop unknown keys with a warning instead (round-4 review finding).
+    cfg = config_from_snapshot(data["config"], path)
+    return data["params"], cfg
+
+
+def config_from_snapshot(raw_cfg, source: str) -> ModelConfig:
+    """ModelConfig from a serialized config dict, tolerating newer fields.
+
+    Same-magic forward compatibility: config fields are added without a
+    MAGIC bump (stem/arch/deep_supervision all were), so a snapshot from a
+    build with an extra field must not die in a raw TypeError — drop
+    unknown keys with a warning instead (round-4 review finding).  Shared
+    by :func:`load` and ``train.load_state`` so the two loaders cannot
+    diverge again.
+    """
     import dataclasses
 
     known = {f.name for f in dataclasses.fields(ModelConfig)}
-    raw_cfg = dict(data["config"])
+    raw_cfg = dict(raw_cfg)
     extra = sorted(set(raw_cfg) - known)
     if extra:
         import warnings
 
         warnings.warn(
-            f"checkpoint {path} carries unknown config fields {extra} "
+            f"checkpoint {source} carries unknown config fields {extra} "
             f"(written by a newer build?) — ignoring them", stacklevel=2)
-    cfg = ModelConfig(**{k: v for k, v in raw_cfg.items() if k in known})
-    return data["params"], cfg
+    return ModelConfig(**{k: v for k, v in raw_cfg.items() if k in known})
 
 
 def load_serving(models_dir: str, include_flagship: bool = True):

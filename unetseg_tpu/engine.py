@@ -557,12 +557,17 @@ def initialize_engine(cache_path: str, log_dir: Optional[str] = None,
         if log_dir is None:
             log_dir = derive_log_dir(cache_path)
         if not GLOBAL_LOG.open(log_dir):
+            # every failure path leaves nothing servable — a failed re-init
+            # must not keep the PREVIOUS engine live (round-4 review
+            # finding; the later paths already did this)
+            _engine = None
             return False
         GLOBAL_LOG.write("=== Initializing Medical Image Segmentation Engine ===")
         GLOBAL_LOG.write(f"Engine Cache: {cache_path}")
 
         if not os.path.exists(cache_path):
             GLOBAL_LOG.write(f"Error: engine cache file not found - {cache_path}")
+            _engine = None
             return False
 
         # Persistent compilation cache: the .trt plan-file analog — re-inits
@@ -1004,7 +1009,7 @@ def process_batch(raw_paths: List[str], width: int, height: int,
                 print(f"Processing error: {e}")
                 n_fail += 1
 
-    def load_chunk(chunk):
+    def load_chunk(cd):
         # Bit-exact host preprocess (the serial path's C++ resample+quantize,
         # src/preprocess.cpp:76): batch artifacts are byte-identical to
         # process_single_image's, and only u8 crosses to the device (half
@@ -1013,12 +1018,23 @@ def process_batch(raw_paths: List[str], width: int, height: int,
         # dropped at drain) so arbitrary directory sizes compile at most
         # log2(batch_size) executables instead of one per distinct remainder
         # — a cold cache through a tunneled backend pays ~30 s per unique
-        # shape (ADVICE r3).
-        u8s = np.stack([
-            native.preprocess_u8(
-                np.asarray(raw_io.read_raw(p, width, height)), eng.size)
-            for p in chunk
-        ])
+        # shape (ADVICE r3).  Per-file load failures (truncated RAW,
+        # vanished file) drop only that slice — the documented per-image
+        # isolation of src/main.cpp:159-163; previously one bad file
+        # aborted the whole batch (round-4 review finding).
+        chunk, dirs = cd
+        u8_list, good, n_bad = [], [], 0
+        for p, d in zip(chunk, dirs):
+            try:
+                u8_list.append(native.preprocess_u8(
+                    np.asarray(raw_io.read_raw(p, width, height)), eng.size))
+                good.append((p, d))
+            except Exception as e:
+                print(f"Processing error: {e}")
+                n_bad += 1
+        if not u8_list:
+            return None, good, n_bad
+        u8s = np.stack(u8_list)
         n = u8s.shape[0]
         if n < batch_size:
             bucket = 1
@@ -1027,7 +1043,7 @@ def process_batch(raw_paths: List[str], width: int, height: int,
             if bucket > n:
                 u8s = np.concatenate(
                     [u8s, np.repeat(u8s[-1:], bucket - n, axis=0)])
-        return u8s
+        return u8s, good, n_bad
 
     chunks = [
         (raw_paths[i: i + batch_size], output_dirs[i: i + batch_size])
@@ -1040,8 +1056,11 @@ def process_batch(raw_paths: List[str], width: int, height: int,
     with ThreadPoolExecutor(max_workers=2) as loaders:
         # Prefetch at most 2 chunks ahead of the device consumer (shared
         # bounded-prefetch orchestration; peak host memory O(batch)).
-        for (chunk, dirs), u8s in prefetch_map(
-                loaders, lambda cd: load_chunk(cd[0]), chunks, 2):
+        for _cd, (u8s, good, n_bad) in prefetch_map(
+                loaders, load_chunk, chunks, 2):
+            n_fail += n_bad
+            if u8s is None:  # every file in this chunk failed to load
+                continue
             t_inf = time.perf_counter()
             if getattr(eng, "_cascade_params", None) is not None:
                 # Cascade serving: margin-routed fallback re-runs.  This
@@ -1049,18 +1068,18 @@ def process_batch(raw_paths: List[str], width: int, height: int,
                 # host branch), trading the async overlap for the stronger
                 # model's worst-slice floor.
                 masks, _conf, n_routed = eng.infer_cascade(
-                    u8s, n_valid=len(chunk))
+                    u8s, n_valid=len(good))
                 GLOBAL_LOG.record(
-                    event="batch", n=len(chunk), cascade_routed=n_routed,
+                    event="batch", n=len(good), cascade_routed=n_routed,
                     dispatch_ms=round((time.perf_counter() - t_inf) * 1e3, 3),
                 )
             else:
                 masks = eng.infer(u8s)  # async dispatch overlaps host drain
                 GLOBAL_LOG.record(
-                    event="batch", n=len(chunk),
+                    event="batch", n=len(good),
                     dispatch_ms=round((time.perf_counter() - t_inf) * 1e3, 3),
                 )
-            pending.append((masks, u8s, list(zip(chunk, dirs))))
+            pending.append((masks, u8s, good))
             # double buffering: drain the previous batch while this one runs
             if len(pending) > 1:
                 drain(pending.pop(0))

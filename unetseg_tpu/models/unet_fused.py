@@ -39,7 +39,11 @@ _CONV_DN = ("NHWC", "HWIO", "NHWC")
 
 def supports(cfg: ModelConfig) -> bool:
     """The fused path covers the flagship geometry only."""
+    # stem must be 1: conv1_l_from_u8 hard-codes Cin=1 (u8[..., None]); a
+    # space-to-depth stem checkpoint would pass the other checks and crash
+    # at trace time instead of falling back to the standard path.
     return (cfg.arch == "unet" and cfg.depth >= 2
+            and getattr(cfg, "stem", 1) == 1
             and cfg.image_size % 4 == 0
             and (cfg.image_size + 4) % 12 == 0
             and cfg.num_classes == 3)

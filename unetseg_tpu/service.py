@@ -403,7 +403,10 @@ class SegmentationService:
                 ok = engine.process_single_image(
                     path, width, height, out_dir, tta=tta,
                     window=int(window) if window else None,
-                    overlap=int(overlap) if overlap else None,
+                    # overlap=0 (non-overlapping windows) is valid — a
+                    # truthiness test here silently rewrote it to the
+                    # window/2 default (round-4 review finding)
+                    overlap=int(overlap) if overlap is not None else None,
                     per_class=per_class, eng=eng)
                 with self._count_lock:
                     self._n_processed += int(ok)

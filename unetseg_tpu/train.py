@@ -245,7 +245,9 @@ def load_state(path: str, tx: optax.GradientTransformation
         if magic != b"UTPUTRAIN1\n":
             raise ValueError(f"Not a unetseg_tpu train checkpoint: {path}")
         data = serialization.msgpack_restore(f.read())
-    cfg = ModelConfig(**data["config"])
+    from unetseg_tpu.checkpoint import config_from_snapshot
+
+    cfg = config_from_snapshot(data["config"], path)
     params = data["params"]
     # Rebuild the optimizer pytree structure, then refill from the snapshot.
     opt_state = tx.init(params)

@@ -55,8 +55,22 @@ def device_trace(log_dir: Optional[str]) -> Iterator[None]:
         return
     import jax
 
+    # Only profiler START/STOP failures are swallowed ("profiling must never
+    # break the pipeline").  The traced body's own exception must propagate:
+    # wrapping the yield in a bare except made the generator yield twice,
+    # so a body error surfaced as contextlib's "generator didn't stop after
+    # throw()" RuntimeError instead of itself (round-4 review finding).
+    prof = None
     try:
-        with jax.profiler.trace(log_dir):
-            yield
+        prof = jax.profiler.trace(log_dir)
+        prof.__enter__()
     except Exception:
-        yield  # profiling must never break the pipeline
+        prof = None
+    try:
+        yield
+    finally:
+        if prof is not None:
+            try:
+                prof.__exit__(None, None, None)
+            except Exception:
+                pass
