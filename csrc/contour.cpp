@@ -265,16 +265,30 @@ void utpu_free(void* p) { std::free(p); }
 // src/preprocess.cpp:65-118.
 void utpu_preprocess(const uint16_t* raw, int h, int w, int out_size,
                      uint8_t* out) {
-  uint16_t mn = 65535, mx = 0;
+  if (out_size <= 0) return;
+  if (h <= 0 || w <= 0) {
+    // Degenerate input: deterministic zero output instead of the general
+    // path's iy1 = min(iy+1, h-1) = -1 wild OOB read (same guard
+    // utpu_emit_slice already carries; round-4 review finding).
+    std::memset(out, 0, static_cast<size_t>(out_size) * out_size);
+    return;
+  }
+  uint16_t mnu = 65535, mxu = 0;
   const size_t len = static_cast<size_t>(h) * w;
 #ifdef _OPENMP
-#pragma omp parallel for reduction(min : mn) reduction(max : mx)
+#pragma omp parallel for reduction(min : mnu) reduction(max : mxu)
 #endif
   for (long long i = 0; i < static_cast<long long>(len); ++i) {
     const uint16_t v = raw[i];
-    mn = std::min(mn, v);
-    mx = std::max(mx, v);
+    mnu = std::min(mnu, v);
+    mxu = std::max(mxu, v);
   }
+  // Widened to int BEFORE the degenerate bump, matching the float64 oracle
+  // (ops/preprocess.py:69-72): a uniformly-65535 image must give mx=65536,
+  // not wrap uint16 to 0 (which underflowed the LUT size below and aborted
+  // the process; round-4 review finding, reproduced).
+  const int mn = mnu;
+  int mx = mxu;
   if (mn == mx) mx = mn + 1;
   const double scale8 = 255.0 / (mx - mn);
   if (h == out_size && w == out_size) {
@@ -486,6 +500,12 @@ struct RLECC {
 };
 
 // Predicate-driven run extraction + union: pred(row_ptr, x) -> bool.
+// NOTE: utpu_extract_contours carries its own interleaved fg/bg run-CC
+// (one pass, per-row offsets for its externality binary search) rather
+// than two rle_cc calls — intentionally separate to keep the contour hot
+// path at one image scan.  The overlap conditions are the same and must
+// stay in sync: 8-conn = prev-run overlap with the 1-dilated span
+// [x0-1, x1+1), 4-conn = exact span overlap.
 template <typename Pred>
 RLECC rle_cc(const uint8_t* img, int h, int w, Pred pred, bool connect8) {
   RLECC r;

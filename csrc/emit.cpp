@@ -212,16 +212,8 @@ std::string path_join(const char* dir, const char* base, const char* suffix) {
 
 extern "C" {
 
-// Artifact tiers (bitmask): compose what a deployment keeps.
-//   1 size JSON | 2 contour JSON | 4 mask PNG | 8 normalized PNG |
-//   16 contour overlay PNG       (31 = full reference artifact set)
-enum {
-  UTPU_EMIT_SIZE_JSON = 1,
-  UTPU_EMIT_CONTOUR_JSON = 2,
-  UTPU_EMIT_MASK_PNG = 4,
-  UTPU_EMIT_NORM_PNG = 8,
-  UTPU_EMIT_OVERLAY_PNG = 16,
-};
+// UTPU_EMIT_* tier bits live in unetseg_host.h (single definition; the
+// Python mirror is unetseg_tpu/io/native.py TIER_*).
 
 // Write one slice's artifacts.  `clean_mask` holds class ids {0,1,2} (the
 // cleaned mask); the 0/128/255 visualization LUT (src/process.cpp:178-185)
@@ -239,15 +231,15 @@ int utpu_emit_slice(const uint8_t* norm_u8, const uint8_t* clean_mask, int h,
   for (size_t i = 0; i < vis.size(); ++i)
     vis[i] = clean_mask[i] <= 2 ? LUT[clean_mask[i]] : 255;
 
-  int n_contours = 0;
+  // The count is part of the return contract, so it is computed for EVERY
+  // tier — a mask-only tier previously reported a fabricated 0 because
+  // extraction was skipped (round-4 review finding).
   int32_t* points = nullptr;
   int32_t* offsets = nullptr;
   int32_t n_points = 0;
-  if (tier & (UTPU_EMIT_CONTOUR_JSON | UTPU_EMIT_OVERLAY_PNG)) {
-    n_contours =
-        utpu_extract_contours(vis.data(), h, w, &points, &offsets, &n_points);
-    if (n_contours < 0) return -1;
-  }
+  int n_contours =
+      utpu_extract_contours(vis.data(), h, w, &points, &offsets, &n_points);
+  if (n_contours < 0) return -1;
 
   bool ok = true;
   std::string buf;

@@ -79,6 +79,14 @@ for s in (16, 64, 512, 61):  # 61: odd size (packed path requires % 4)
         native.preprocess_u8(raw, max(s, 16))
         flat = np.full((h, w), 777, np.uint16)  # mn == mx edge
         native.preprocess_u8(flat, 16)
+        # saturated mn == mx == 65535: must widen to int, not wrap uint16
+        # (previously aborted via a 2^64-sized LUT on the same-size path;
+        # round-4 review finding) — drive BOTH the LUT and general paths
+        sat = np.full((h, w), 65535, np.uint16)
+        native.preprocess_u8(sat, h if h == w else 16)
+        native.preprocess_u8(sat, 16)
+    # degenerate zero-area input: guarded zero fill, not an OOB read
+    assert (native.preprocess_u8(np.zeros((0, 16), np.uint16), 16) == 0).all()
     if s % 4 == 0:
         u8 = rng.integers(0, 256, (14, s, s)).astype(np.uint8)
         counts = native.emit_batch(u8, cleaned, [tmp] * 14,

@@ -63,14 +63,30 @@ void utpu_postprocess_packed_batch(const uint8_t* packed, int n, int h, int w,
 
 // ---- emit.cpp -------------------------------------------------------------
 
-// Whole per-slice artifact set in one call; tier: 0=full, 1=mask+json,
-// 2=json only.  Returns 0 on success.
+// Artifact-selection bits for utpu_emit_slice / utpu_emit_batch; a tier is
+// an OR of these (31 = the reference's full five-artifact set).  Python
+// mirror: unetseg_tpu/io/native.py TIER_*.
+enum {
+  UTPU_EMIT_SIZE_JSON = 1,
+  UTPU_EMIT_CONTOUR_JSON = 2,
+  UTPU_EMIT_MASK_PNG = 4,
+  UTPU_EMIT_NORM_PNG = 8,
+  UTPU_EMIT_OVERLAY_PNG = 16,
+  UTPU_EMIT_FULL = 31,
+};
+
+// Whole per-slice artifact set in one call; tier = OR of UTPU_EMIT_* bits.
+// Returns the slice's contour count (>= 0; computed for every tier) on
+// success, -1 on failure.  Reference parity: with zero contours the
+// contour JSON and overlay are skipped (src/mask2polygon.cpp:183-188)
+// while size JSON and PNGs are still written.
 int utpu_emit_slice(const uint8_t* norm_u8, const uint8_t* clean_mask, int h,
                     int w, const char* out_dir, const char* base_name,
                     const char* src_filename, int orig_w, int orig_h,
                     int tier);
 
-// Batched over OpenMP; returns the number of failed slices.
+// Batched over OpenMP; returns the number of failed slices and fills
+// out_n_contours with each slice's utpu_emit_slice result.
 int utpu_emit_batch(const uint8_t* norm_u8, const uint8_t* clean_masks, int n,
                     int h, int w, const char* const* out_dirs,
                     const char* const* base_names,

@@ -126,6 +126,16 @@ def test_native_preprocess_bit_exact():
     np.testing.assert_array_equal(
         native.preprocess_u8(raw), preprocess_oracle_u8(raw)
     )
+    # saturated uniform input: the mn==mx bump must widen to int like the
+    # oracle — wrapping uint16 at 65535 underflowed the same-size LUT and
+    # aborted the process (round-4 review finding, reproduced);
+    # cover both the same-size LUT path and the general bilinear path
+    for shape, out_size in (((64, 64), 64), ((300, 500), 64)):
+        sat = np.full(shape, 65535, np.uint16)
+        np.testing.assert_array_equal(
+            native.preprocess_u8(sat, out_size),
+            preprocess_oracle_u8(sat, out_size))
+        assert int(native.preprocess_u8(sat, out_size).max()) == 0
 
 
 def test_contours_per_class():
