@@ -38,47 +38,44 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 FLAGSHIP = os.path.join(_DIR, "models", "flagship_synth.ckpt")  # teacher
 
 
-def _polygons_from_pipeline(mask_vis: np.ndarray, orig_w: int, orig_h: int):
-    """Production host path: C++ contours + truncating scale (as emitted
-    into {base}.json by engine._polygonize)."""
-    from unetseg_tpu.io import native
-
-    sx = orig_w / mask_vis.shape[1]
-    sy = orig_h / mask_vis.shape[0]
-    return [[(int(x * sx), int(y * sy)) for x, y in c]
-            for c in native.extract_contours(mask_vis)]
+def _parse_batch_arg() -> int:
+    """argv[1] as a positive batch size, or exit 2 with usage.  Called at
+    main() entry, BEFORE any jax touch: an argv typo must fail fast, not
+    after (or hung inside) device setup."""
+    if len(sys.argv) <= 1:
+        return 128
+    try:
+        batch = int(sys.argv[1])
+    except ValueError:
+        batch = 0
+    if batch <= 0:
+        print(f"usage: {sys.argv[0]} [batch_size>0]", file=sys.stderr)
+        raise SystemExit(2)
+    return batch
 
 
 def main() -> int:
-    # Watchdog over device setup + first execution: a wedged device tunnel
-    # passes device enumeration but hangs execution (and even backend init)
-    # indefinitely — observed 2026-08-18, 6+ h backend-UNAVAILABLE window.
-    # Hanging forever gives the harness nothing; emit one honest
-    # machine-readable error line and exit non-zero instead.  Generous
-    # deadline: a cold persistent cache legitimately spends minutes
-    # compiling through the remote helper.  Armed BEFORE the first jax
-    # import: the backend-register hook itself can hang on a wedged relay.
-    import threading
+    batch = _parse_batch_arg()
+    # Wedged-backend watchdog (single-sourced; see utils/watchdog.py):
+    # armed before the first jax import, disarmed after the first real
+    # execution.  Generous default deadline — a cold persistent cache
+    # legitimately spends minutes compiling through the remote helper.
+    from unetseg_tpu.utils.watchdog import arm_backend_watchdog
 
-    warm_done = threading.Event()
-    deadline_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "600"))
+    def _report_outage(deadline_s: float) -> None:
+        print(json.dumps({
+            "metric": ("512^2 slices/sec/chip (fused normalize+UNet+"
+                       "argmax device pipeline)"),
+            "value": 0.0, "unit": "slices/sec", "vs_baseline": 0.0,
+            "error": (f"device backend unresponsive: setup + first "
+                      f"execution did not complete within "
+                      f"{deadline_s:.0f}s (tunnel/device outage, not a "
+                      "framework regression — last validated real-TPU "
+                      "numbers: docs/PERFORMANCE.md headline, "
+                      "benchmarks/results_r4_tpu.json)"),
+        }), flush=True)
 
-    def _watchdog():
-        if not warm_done.wait(deadline_s):
-            print(json.dumps({
-                "metric": ("512^2 slices/sec/chip (fused normalize+UNet+"
-                           "argmax device pipeline)"),
-                "value": 0.0, "unit": "slices/sec", "vs_baseline": 0.0,
-                "error": (f"device backend unresponsive: setup + first "
-                          f"execution did not complete within "
-                          f"{deadline_s:.0f}s (tunnel/device outage, not a "
-                          "framework regression — last validated real-TPU "
-                          "numbers: docs/PERFORMANCE.md headline, "
-                          "benchmarks/results_r4_tpu.json)"),
-            }), flush=True)
-            os._exit(2)
-
-    threading.Thread(target=_watchdog, daemon=True).start()
+    warm_done = arm_backend_watchdog(_report_outage)
 
     import jax
     import jax.numpy as jnp
@@ -102,8 +99,6 @@ def main() -> int:
     # for the slim4 geometry (benchmarks/RESULTS_r3.md batch-scaling table;
     # throughput flattens at 256). Host cleanup (0.99 ms/mask C++) still
     # fits production hosts' ~14 cores/chip at this rate.
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-
     # The production device program (engine.py _pipeline): normalize -> UNet
     # -> argmax decode.  Mask cleanup runs on the host (C++ union-find,
     # ~1 ms/mask) pipelined against device work — on production v5e hosts
@@ -143,6 +138,10 @@ def main() -> int:
 
     # --- measured host->device rate (annotates the tunnel bias) ------------
     big = np.zeros((64, 1024, 1024), np.uint8)  # 64 MB
+    # untimed warmup: the element-fetch gather for this shape compiles on
+    # first use (~30 s through the remote helper on a cold cache) and must
+    # not land inside the transfer measurement (round-4 review finding)
+    _ = int(jax.device_put(big)[0, 0, 0])
     t0 = time.perf_counter()
     dev = jax.device_put(big)
     _ = int(dev[0, 0, 0])
@@ -192,37 +191,40 @@ def main() -> int:
 
         # parity vs the reference twin (full pipeline, same checkpoint),
         # at a non-trivial original resolution to exercise the truncating
-        # coordinate scale (src/mask2polygon.cpp:41-63).
-        from unetseg_tpu import reference_twin as twin
+        # coordinate scale (src/mask2polygon.cpp:41-63).  The twin covers
+        # arch 'unet' only — a registry-arch serving checkpoint (unetpp /
+        # attention / w8a8) must skip parity (None), not crash the whole
+        # benchmark after the throughput work (round-4 review finding).
         from unetseg_tpu.io import native
 
-        host_params = jax.device_get(params)
-        ow, oh = 1024, 768
-        vals = []
-        for i in range(4):
-            mask = native.postprocess_batch(pred[i][None])[0]
-            vis = decode.mask_to_image_np(mask)
-            ours = _polygons_from_pipeline(vis, ow, oh)
-            theirs = twin.twin_pipeline(host_params, cfg, u8v[i], ow, oh)
-            vals.append(metrics.polygon_iou(ours, theirs, ow, oh))
-        parity = float(np.mean(vals))
+        if cfg.arch == "unet":
+            from unetseg_tpu import reference_twin as twin
+
+            host_params = jax.device_get(params)
+            ow, oh = 1024, 768
+            vals = []
+            for i in range(4):
+                mask = native.postprocess_batch(pred[i][None])[0]
+                vis = decode.mask_to_image_np(mask)
+                ours = native.scaled_polygons(vis, ow, oh)
+                theirs = twin.twin_pipeline(host_params, cfg, u8v[i], ow, oh)
+                vals.append(metrics.polygon_iou(ours, theirs, ow, oh))
+            parity = float(np.mean(vals))
 
         # student-vs-flagship polygon agreement (the distillation contract)
         if serving in ("slim", "slim4", "slim5") and os.path.exists(FLAGSHIP):
-            from unetseg_tpu import checkpoint as _ck
-
-            t_params, t_cfg = _ck.load(FLAGSHIP)
+            t_params, t_cfg = checkpoint.load(FLAGSHIP)
             t_pipe = make_pipeline(t_cfg)
             t_pred = np.asarray(t_pipe(jax.device_put(t_params),
                                        jnp.asarray(u8v)))
+            m_s_all = native.postprocess_batch(pred)
+            m_t_all = native.postprocess_batch(t_pred)
             avals = []
             for i in range(len(labels)):
-                m_s = native.postprocess_batch(pred[i][None])[0]
-                m_t = native.postprocess_batch(t_pred[i][None])[0]
-                p_s = _polygons_from_pipeline(
-                    decode.mask_to_image_np(m_s), 512, 512)
-                p_t = _polygons_from_pipeline(
-                    decode.mask_to_image_np(m_t), 512, 512)
+                p_s = native.scaled_polygons(
+                    decode.mask_to_image_np(m_s_all[i]), 512, 512)
+                p_t = native.scaled_polygons(
+                    decode.mask_to_image_np(m_t_all[i]), 512, 512)
                 avals.append(metrics.polygon_iou(p_s, p_t, 512, 512))
             agreement = float(np.mean(avals))
             agreement_min = float(np.min(avals))
@@ -233,9 +235,9 @@ def main() -> int:
     # a REALISTIC slice, not uint16 noise: noise post-cleanup masks are
     # empty, which skips the contour-trace + JSON stages this metric is
     # named for and biases p50 low (round-4 review finding)
-    from unetseg_tpu import data as _data
+    from unetseg_tpu import data
 
-    raw, _ = _data.synth_slice(np.random.default_rng(7), 512)
+    raw, _ = data.synth_slice(np.random.default_rng(7), 512)
     p50_ms = study_pipeline.measure_p50_latency(
         params, cfg, raw, 512, 512, iters=20) * 1e3
     # a synchronous slice call pays at least one tunnel round trip plus the

@@ -35,8 +35,10 @@ multi-organ mosaic that pins the reference's 6%-of-frame cleanup floor
 (`data.real_mri_mosaic`).
 
 Writes benchmarks/results_real_mri.json and prints a table + one summary
-JSON line.  CPU-safe (forces the CPU backend only if the default backend
-fails to initialize); runs in ~2 min on one core.
+JSON line.  Runs on whatever backend JAX selects; to run off-TPU set
+JAX_PLATFORMS=cpu (honored via the config API too, which bypasses a wedged
+axon relay — there is NO automatic fallback when the default backend
+hangs).  Runs in a few minutes on one core.
 """
 
 from __future__ import annotations
@@ -113,11 +115,16 @@ def main() -> int:
     checkpoint.save(ckpt_path, params, cfg)
     assert engine.initialize_engine(ckpt_path)
 
+    # one parent scratch dir so every artifact tree is reclaimed at the end
+    # (repeat runs previously leaked ~17 mkdtemp trees of PNGs per
+    # invocation; round-4 review finding)
+    workdir = tempfile.mkdtemp(prefix="eval_real_")
+
     rows = []
     try:
         for name, raw in pool:
             h, w = raw.shape
-            out_dir = tempfile.mkdtemp(prefix=f"real_{name}_")
+            out_dir = tempfile.mkdtemp(prefix=f"real_{name}_", dir=workdir)
             raw_path = os.path.join(out_dir, f"{name}.raw")
             raw_io.write_raw(raw_path, raw)
 
@@ -176,7 +183,7 @@ def main() -> int:
         # serial run above — the batched-equals-serial contract, previously
         # proven only on synthetic phantoms.
         b_rows = [r for r in rows if r["w"] == 256 and r["h"] == 256]
-        b_out = tempfile.mkdtemp(prefix="real_batched_")
+        b_out = tempfile.mkdtemp(prefix="real_batched_", dir=workdir)
         out_dirs = []
         for r in b_rows:
             d = os.path.join(b_out, r["variant"])
@@ -200,7 +207,7 @@ def main() -> int:
               f"variants x 5 artifacts: {batched_equal}")
 
         # -- C. TTA product path on real anatomy --------------------------
-        tta_dir = tempfile.mkdtemp(prefix="real_tta_")
+        tta_dir = tempfile.mkdtemp(prefix="real_tta_", dir=workdir)
         raw0 = next(r for r in rows if r["variant"] == "rot0")
         import shutil
 
@@ -226,7 +233,7 @@ def main() -> int:
         # is directly comparable to the serial polygons: the IoU isolates
         # window-blend effects (local context, overlap-add) from content.
         big = data.real_mri_512()
-        win_dir = tempfile.mkdtemp(prefix="real_window_")
+        win_dir = tempfile.mkdtemp(prefix="real_window_", dir=workdir)
         big_raw = os.path.join(win_dir, "big.raw")
         raw_io.write_raw(big_raw, big)
         assert engine.process_single_image(big_raw, 512, 512, win_dir,
@@ -251,7 +258,7 @@ def main() -> int:
         # JSON ("Warning: No Contours Detected") — same as the reference
         # would emit.  Pin exactly that.
         mosaic = data.real_mri_mosaic(2)
-        mos_dir = tempfile.mkdtemp(prefix="real_mosaic_")
+        mos_dir = tempfile.mkdtemp(prefix="real_mosaic_", dir=workdir)
         mosaic_raw = os.path.join(mos_dir, "mosaic.raw")
         raw_io.write_raw(mosaic_raw, mosaic)
         assert engine.process_single_image(mosaic_raw, 512, 512, mos_dir,
@@ -277,6 +284,9 @@ def main() -> int:
             "multi-organ cleanup semantics changed")
     finally:
         engine.cleanup_resources()
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
     for r in rows:  # internal bookkeeping, not part of the report
         r.pop("_out_dir"), r.pop("_raw_path")
 

@@ -8,9 +8,12 @@ models were NEVER trained on (data.synth_slice_shifted): lobulated organs,
 crescents (concave boundaries), and illumination-gradient + streak-noise
 slices.  For each family this reports:
 
-* student (serving slim4) and teacher decoded-mask fg IoU vs labels
-  (mean / min),
-* student-vs-teacher mask agreement (the distillation contract off-family),
+* student (the SHIPPED serving checkpoint, checkpoint.load_serving) and
+  teacher decoded-mask fg IoU vs labels (mean / min),
+* student-vs-teacher mask agreement — against the ROBUSTIFIED teacher the
+  student was actually distilled from when present (the distillation
+  contract off-family); teacher columns are None when no regenerable
+  teacher checkpoint exists on this checkout,
 * full-pipeline polygon parity vs the reference-twin oracle (must stay ~1.0
   regardless of content: parity is about stage semantics, not the model).
 
@@ -40,11 +43,29 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
 
-    s_params, s_cfg = checkpoint.load(
-        os.path.join(REPO, "models", "flagship_slim4.ckpt"))
-    t_params, t_cfg = checkpoint.load(
-        os.path.join(REPO, "models", "flagship_synth.ckpt"))
-    s_params, t_params = jax.device_put(s_params), jax.device_put(t_params)
+    # The SHIPPED student (single-sourced serving policy — hand-rolling
+    # flagship_slim4.ckpt here re-introduced the divergence load_serving
+    # exists to prevent; round-4 review finding).
+    found = checkpoint.load_serving(os.path.join(REPO, "models"),
+                                    include_flagship=False)
+    if found is None:
+        print(json.dumps({"error": "no serving student checkpoint"}))
+        return 1
+    s_params, s_cfg, s_name = found
+    s_params = jax.device_put(s_params)
+
+    # Teacher: the ROBUSTIFIED one the student was distilled from when
+    # present; both are regenerable/untracked, so their absence on a fresh
+    # clone must degrade to student-only metrics, not crash (round-4
+    # review finding; matches eval_real.py).
+    t_params = t_cfg = t_name = None
+    for cand in ("flagship_synth_robust.ckpt", "flagship_synth.ckpt"):
+        p = os.path.join(REPO, "models", cand)
+        if os.path.exists(p):
+            t_params, t_cfg = checkpoint.load(p)
+            t_params = jax.device_put(t_params)
+            t_name = cand
+            break
 
     def make_pred(cfg):
         @jax.jit
@@ -54,8 +75,9 @@ def main():
                               axis=-1).astype(jnp.uint8)
         return f
 
-    fs, ft = make_pred(s_cfg), make_pred(t_cfg)
-    report = {}
+    fs = make_pred(s_cfg)
+    ft = make_pred(t_cfg) if t_cfg is not None else None
+    report = {"student": s_name, "teacher": t_name}
     host_s = jax.device_get(s_params)
 
     for kind in ("lobulated", "crescent", "illum", "multiorgan"):
@@ -66,22 +88,24 @@ def main():
             raws[i], labels[i] = data.synth_slice_shifted(rng, 512, kind)
         u8 = np.stack([native.preprocess_u8(r, 512) for r in raws])
         ps = np.asarray(fs(s_params, jnp.asarray(u8)))
-        pt = np.asarray(ft(t_params, jnp.asarray(u8)))
         s_iou = [float(metrics.foreground_iou(ps[i], labels[i]))
                  for i in range(n)]
-        t_iou = [float(metrics.foreground_iou(pt[i], labels[i]))
-                 for i in range(n)]
-        agree = [float(metrics.foreground_iou(ps[i], pt[i]))
-                 for i in range(n)]
+        t_iou = agree = None
+        if ft is not None:
+            pt = np.asarray(ft(t_params, jnp.asarray(u8)))
+            t_iou = [float(metrics.foreground_iou(pt[i], labels[i]))
+                     for i in range(n)]
+            agree = [float(metrics.foreground_iou(ps[i], pt[i]))
+                     for i in range(n)]
 
-        # full-pipeline parity vs the twin oracle on 4 slices
+        # full-pipeline parity vs the twin oracle on 4 slices, through the
+        # product's own polygonize+scale (native.scaled_polygons) — not a
+        # re-implementation that could silently diverge
         parity = []
         for i in range(min(4, n)):
             mask = native.postprocess_batch(ps[i][None])[0]
             vis = np.asarray(decode.mask_to_image(jnp.asarray(mask)))
-            sx, sy = 1024 / 512, 768 / 512
-            ours = [[(int(x * sx), int(y * sy)) for x, y in c]
-                    for c in native.extract_contours(vis)]
+            ours = native.scaled_polygons(vis, 1024, 768)
             theirs = twin.twin_pipeline(host_s, s_cfg, u8[i], 1024, 768)
             parity.append(metrics.polygon_iou(ours, theirs, 1024, 768))
 
@@ -96,16 +120,21 @@ def main():
             "student_fg_iou_min": round(float(np.min(s_iou)), 5),
             "student_hd95_max_px": hd95_max,
             "student_boundary_misses": misses,
-            "teacher_fg_iou": round(float(np.mean(t_iou)), 5),
-            "teacher_fg_iou_min": round(float(np.min(t_iou)), 5),
-            "student_teacher_agreement": round(float(np.mean(agree)), 5),
-            "agreement_min": round(float(np.min(agree)), 5),
+            "teacher_fg_iou":
+                (None if t_iou is None else round(float(np.mean(t_iou)), 5)),
+            "teacher_fg_iou_min":
+                (None if t_iou is None else round(float(np.min(t_iou)), 5)),
+            "student_teacher_agreement":
+                (None if agree is None else round(float(np.mean(agree)), 5)),
+            "agreement_min":
+                (None if agree is None else round(float(np.min(agree)), 5)),
             "pipeline_twin_parity": round(float(np.mean(parity)), 5),
         }
         print(kind, json.dumps(report[kind]), flush=True)
 
     print(json.dumps({"shift_eval": report}))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -33,6 +33,16 @@ def main() -> int:
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
+    # Wedged-backend watchdog (single-sourced with bench.py; armed before
+    # the first jax import because even backend init can hang on a wedged
+    # tunnel — round-4 review finding: this file previously hung forever).
+    from unetseg_tpu.utils.watchdog import arm_backend_watchdog
+
+    warm_done = arm_backend_watchdog(lambda deadline: print(json.dumps({
+        "error": (f"device backend unresponsive within {deadline:.0f}s "
+                  "(tunnel/device outage) — no configs measured")}),
+        flush=True))
+
     import jax
     import jax.numpy as jnp
 
@@ -66,9 +76,24 @@ def main() -> int:
     def sync1(x):
         return float(x[(0,) * x.ndim])
 
+    def timed(call, iters):
+        """Warmup once, then queue ``iters`` dispatches and sync ONCE via an
+        element fetch — the tunneled-backend timing discipline (CLAUDE.md:
+        per-iteration sync adds ~28 ms of round trip to every loop pass;
+        block_until_ready is not a reliable barrier).  Single-sourced here
+        so the eight timing sites cannot drift (round-4 review finding).
+        Returns seconds per iteration."""
+        sync1(call())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = call()
+        sync1(out)
+        return (time.perf_counter() - t0) / iters
+
     # ---- config 1: single slice -> polygon JSON p50 latency --------------
     raw, _ = synth_slice(rng, 512)
     p50 = ppl.measure_p50_latency(params, cfg, raw, 512, 512, iters=15)
+    warm_done.set()  # backend proved live end-to-end
     report["c1_p50_slice_to_json_ms"] = round(p50 * 1000, 2)
 
     # ---- config 2: batch-32, per-class contours --------------------------
@@ -81,25 +106,12 @@ def main() -> int:
                                    cfg.num_classes)
 
     raws_dev = jnp.asarray(raws)  # upload once; batches stay resident
-    m = dev(params, raws_dev)
-    sync1(m)
-    t0 = time.perf_counter()
-    iters = 10
-    for _ in range(iters):
-        m = dev(params, raws_dev)
-    sync1(m)
-    dt = (time.perf_counter() - t0) / iters
+    dt = timed(lambda: dev(params, raws_dev), 10)
     report["c2_batch32_device_slices_per_sec"] = round(32 / dt, 1)
 
     # serving batch (128, the dispatch-amortization sweet spot; bench.py)
     raws128 = jnp.asarray(np.repeat(raws, 4, axis=0))
-    m = dev(params, raws128)
-    sync1(m)
-    t0 = time.perf_counter()
-    for _ in range(8):
-        m = dev(params, raws128)
-    sync1(m)
-    dt128 = (time.perf_counter() - t0) / 8
+    dt128 = timed(lambda: dev(params, raws128), 8)
     report["c2_serving_batch128_slices_per_sec"] = round(128 / dt128, 1)
     # per-class contour cost on realistic (ground-truth-shaped) masks — the
     # random-weight model's cleaned masks are empty, which would understate it
@@ -127,13 +139,7 @@ def main() -> int:
                                   cfg.num_classes)
         return device_post.postprocess_batch(mask, use_pallas_cc=on_tpu)
 
-    out = fused_all_device(params, raws_dev)
-    sync1(out)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        out = fused_all_device(params, raws_dev)
-    sync1(out)
-    dt = (time.perf_counter() - t0) / 5
+    dt = timed(lambda: fused_all_device(params, raws_dev), 5)
     report["c2_all_device_slices_per_sec"] = round(32 / dt, 1)
     report["c2_all_device_ms_per_batch"] = round(dt * 1000, 1)
 
@@ -145,13 +151,7 @@ def main() -> int:
     fn = tiles.make_tiled_pipeline(cfg, window=512, overlap=256,
                                   device_postprocess=False)
     u8big = jnp.asarray((big >> 8).astype(np.uint8))
-    out = fn(params, u8big)
-    sync1(out)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        out = fn(params, u8big)
-    sync1(out)
-    dt = (time.perf_counter() - t0) / 5
+    dt = timed(lambda: fn(params, u8big), 5)
     report["c3_1024_tile_sliding_window_ms"] = round(dt * 1000, 1)
     report["c3_equivalent_512_slices_per_sec"] = round(4 / dt, 1)
 
@@ -162,13 +162,7 @@ def main() -> int:
     fnb = tiles.make_tiled_batch_pipeline(cfg, window=512, overlap=256,
                                           device_postprocess=False)
     u8big8 = jnp.asarray((big8 >> 8).astype(np.uint8))
-    out = fnb(params, u8big8)
-    sync1(out)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        out = fnb(params, u8big8)
-    sync1(out)
-    dtb = (time.perf_counter() - t0) / 5
+    dtb = timed(lambda: fnb(params, u8big8), 5)
     report["c3_batched8_ms"] = round(dtb * 1000, 1)
     report["c3_batched_equivalent_512_slices_per_sec"] = round(8 * 4 / dtb, 1)
 
@@ -198,39 +192,21 @@ def main() -> int:
     # ---- config 5: TTA ensemble (single chip) ----------------------------
     u8 = jnp.asarray((synth_slice(rng, 512)[0] >> 8).astype(np.uint8))
     fn = tta.make_tta_pipeline(cfg, device_postprocess=False)
-    out = fn(params, u8)
-    sync1(out)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        out = fn(params, u8)
-    sync1(out)
-    dt = (time.perf_counter() - t0) / 5
+    dt = timed(lambda: fn(params, u8), 5)
     report["c5_tta8_ensemble_ms_per_slice"] = round(dt * 1000, 1)
 
     # batched TTA: 16 slices x 8 views as one program (dispatch amortized)
     u8_16 = jnp.asarray(np.stack(
         [(synth_slice(rng, 512)[0] >> 8).astype(np.uint8) for _ in range(16)]))
     fnb5 = tta.make_tta_batch_pipeline(cfg, device_postprocess=False)
-    out = fnb5(params, u8_16)
-    sync1(out)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        out = fnb5(params, u8_16)
-    sync1(out)
-    dtb5 = (time.perf_counter() - t0) / 5
+    dtb5 = timed(lambda: fnb5(params, u8_16), 5)
     report["c5_tta8_batched16_ms_per_slice"] = round(dtb5 * 1000 / 16, 2)
 
     # weight-space TTA (tta.transform_params_dihedral): the ensemble as 8
     # transformed-weight passes over untransposed activations — the
     # production config-5 path (engine.infer_tta)
     fnw5 = tta.make_tta_weightspace_pipeline(cfg, device_postprocess=False)
-    out = fnw5(params, u8_16)
-    sync1(out)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        out = fnw5(params, u8_16)
-    sync1(out)
-    dtw5 = (time.perf_counter() - t0) / 5
+    dtw5 = timed(lambda: fnw5(params, u8_16), 5)
     report["c5_tta8_weightspace16_ms_per_slice"] = round(dtw5 * 1000 / 16, 2)
 
     line = json.dumps(report, sort_keys=True)

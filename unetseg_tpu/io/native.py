@@ -150,6 +150,20 @@ def extract_contours(mask: np.ndarray) -> List[List[Tuple[int, int]]]:
         lib.utpu_free(offsets)
 
 
+def scaled_polygons(mask_vis: np.ndarray, orig_w: int,
+                    orig_h: int) -> List[List[Tuple[int, int]]]:
+    """Product polygonization: contours of a 0/128/255 mask scaled to the
+    original resolution with the reference's TRUNCATING int cast
+    (src/mask2polygon.cpp:41-63) — the exact coordinates the engine emits
+    into ``{base}.json``.  Single-sourced so benchmarks cannot re-implement
+    (and silently diverge from) the product's scaling math (round-4 review
+    finding)."""
+    sy = orig_h / mask_vis.shape[0]
+    sx = orig_w / mask_vis.shape[1]
+    return [[(int(x * sx), int(y * sy)) for x, y in c]
+            for c in extract_contours(mask_vis)]
+
+
 def preprocess_u8(raw: np.ndarray, out_size: int = 512) -> np.ndarray:
     """Bit-exact native preprocess; falls back to the NumPy float64 oracle."""
     lib = load()
