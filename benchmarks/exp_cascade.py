@@ -107,11 +107,7 @@ def main():
                 rows.append((fam, i + j, float(c[j]), iou_s, ious_f))
 
     # -- report ------------------------------------------------------------
-    def spearman(a, b):
-        ra = np.argsort(np.argsort(a)).astype(np.float64)
-        rb = np.argsort(np.argsort(b)).astype(np.float64)
-        ra -= ra.mean(); rb -= rb.mean()
-        return float((ra * rb).sum() / np.sqrt((ra**2).sum() * (rb**2).sum()))
+    spearman = metrics.spearman  # tie-corrected, single-sourced
 
     print("\nper-family: conf vs student fg-IoU")
     for fam in families:

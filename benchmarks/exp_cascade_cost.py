@@ -38,14 +38,17 @@ def main():
         os.path.join(mdir, "flagship_slim4_robust.ckpt"))
 
     eng = engine.InferenceEngine(params, cfg)
-    eng.attach_cascade(params, cfg, router="margin")  # fb unused for timing
     u8 = np.random.default_rng(0).integers(
         0, 256, (batch, 512, 512)).astype(np.uint8)
     shape = jax.ShapeDtypeStruct((batch, 512, 512), jnp.uint8)
 
     margin = jax.jit(eng._pipeline_conf).lower(eng.params, shape).compile()
-    eng._cascade_co_params = jax.device_put(co_params, eng._device)
-    eng._cascade_co_cfg = co_cfg
+    # attach through the public API so co_params get the engine's own
+    # mesh-aware placement — hand-poking _cascade_co_params skipped
+    # _place() and gave the fused router inconsistently-placed operands on
+    # multi-device engines (round-4 review finding); fb unused for timing
+    eng.attach_cascade(params, cfg, router="both",
+                       co_params=co_params, co_cfg=co_cfg)
     disagree = jax.jit(eng._pipeline_disagree).lower(
         eng.params, eng._cascade_co_params, shape).compile()
     both = jax.jit(eng._pipeline_both).lower(

@@ -44,25 +44,39 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     mdir = os.path.join(REPO, "models")
 
+    from unetseg_tpu.ops import decode, preprocess
+
     s_params, s_cfg = checkpoint.load(os.path.join(mdir, "flagship_slim4.ckpt"))
     r_params, r_cfg = checkpoint.load(
         os.path.join(mdir, "flagship_slim4_robust.ckpt"))
-    t_params, t_cfg = checkpoint.load(os.path.join(mdir, "flagship_synth.ckpt"))
+    # the routing target: the robustified teacher when present (what the
+    # serving cascade actually falls back to); regenerable/untracked, so
+    # fail with a clear message rather than a bare FileNotFoundError
+    t_path = None
+    for cand in ("flagship_synth_robust.ckpt", "flagship_synth.ckpt"):
+        p = os.path.join(mdir, cand)
+        if os.path.exists(p):
+            t_path = p
+            break
+    if t_path is None:
+        print("no teacher checkpoint (regenerable; run "
+              "benchmarks/train_flagship.py) — cannot measure routing")
+        return 1
+    t_params, t_cfg = checkpoint.load(t_path)
     s_params, r_params, t_params = map(jax.device_put,
                                        (s_params, r_params, t_params))
 
     def fwd(cfg):
+        # the SERVING decode (first-num_classes argmax + u8 normalize) —
+        # a bare jnp.argmax would diverge from the engine on any head
+        # emitting extra channels (round-4 review finding)
         def f(p, u8):
-            x = u8.astype(jnp.float32)[..., None] / 255.0
-            return jnp.argmax(registry.apply(p, x, cfg),
-                              axis=-1).astype(jnp.uint8)
+            x = preprocess.model_input_from_u8(u8)[..., None]
+            return decode.decode_mask(registry.apply(p, x, cfg),
+                                      cfg.num_classes)
         return jax.jit(f)
 
     s_fwd, r_fwd, t_fwd = fwd(s_cfg), fwd(r_cfg), fwd(t_cfg)
-
-    @jax.jit
-    def disagree(ms, mr):
-        return jnp.sum((ms != mr).reshape(ms.shape[0], -1), axis=1)
 
     rows = []  # (family, disagreement, iou_specialist, iou_teacher)
     for fam in ("standard", "crescent", "lobulated", "illum"):
@@ -81,17 +95,15 @@ def main():
             ms, mr, mt = (np.asarray(s_fwd(s_params, b)),
                           np.asarray(r_fwd(r_params, b)),
                           np.asarray(t_fwd(t_params, b)))
-            d = np.asarray(disagree(jnp.asarray(ms), jnp.asarray(mr)))
+            # plain numpy on the already-downloaded masks — re-uploading
+            # them for a jitted sum paid 3 extra tunnel round trips/batch
+            d = (ms != mr).reshape(ms.shape[0], -1).sum(axis=1)
             for j in range(ms.shape[0]):
                 rows.append((fam, int(d[j]),
                              float(metrics.foreground_iou(ms[j], labs[i + j])),
                              float(metrics.foreground_iou(mt[j], labs[i + j]))))
 
-    def spearman(a, b):
-        ra = np.argsort(np.argsort(a)).astype(np.float64)
-        rb = np.argsort(np.argsort(b)).astype(np.float64)
-        ra -= ra.mean(); rb -= rb.mean()
-        return float((ra * rb).sum() / np.sqrt((ra**2).sum() * (rb**2).sum()))
+    spearman = metrics.spearman  # tie-corrected, single-sourced
 
     print("\nper-family: disagreement(specialist, robust) vs specialist IoU")
     for fam in ("standard", "crescent", "lobulated", "illum"):

@@ -46,7 +46,19 @@ def main():
     s_params, s_cfg = checkpoint.load(os.path.join(mdir, "flagship_slim4.ckpt"))
     r_params, r_cfg = checkpoint.load(
         os.path.join(mdir, "flagship_slim4_robust.ckpt"))
-    t_params, t_cfg = checkpoint.load(os.path.join(mdir, "flagship_synth.ckpt"))
+    # routing target: robustified teacher when present (= serving cascade
+    # fallback); regenerable/untracked — fail with a clear message
+    t_path = None
+    for cand in ("flagship_synth_robust.ckpt", "flagship_synth.ckpt"):
+        p = os.path.join(mdir, cand)
+        if os.path.exists(p):
+            t_path = p
+            break
+    if t_path is None:
+        print("no teacher checkpoint (regenerable; run "
+              "benchmarks/train_flagship.py) — cannot measure routing")
+        return 1
+    t_params, t_cfg = checkpoint.load(t_path)
     s_params, r_params, t_params = map(jax.device_put,
                                        (s_params, r_params, t_params))
 
@@ -109,8 +121,12 @@ def main():
         k = int(N * frac)
         m_idx = np.argsort(mg)[:k]            # lowest margin
         d_idx = np.argsort(-d)[:k]            # highest disagreement
-        k2 = max(1, k // 2)
-        u_idx = np.union1d(np.argsort(mg)[:k2], np.argsort(-d)[:k2])
+        # matched budget: the union's two signals SPLIT the same k (k//2 +
+        # k-k//2, no forced minimum) — max(1, k//2) let the union route
+        # slices the solo policies' k=0/odd-k budgets could not, winning
+        # by construction instead of measurement (round-4 review finding)
+        u_idx = np.union1d(np.argsort(mg)[:k // 2],
+                           np.argsort(-d)[:k - k // 2])
         sm, sd, su = score(m_idx), score(d_idx), score(u_idx)
         print(f"  {int(frac*100):3d}% | min {sm.min():.5f} mean {sm.mean():.5f}"
               f" | min {sd.min():.5f} mean {sd.mean():.5f}"
@@ -121,11 +137,10 @@ def main():
     print("\nper-family worst slice caught at 10% budget "
           "(m=margin, d=disagree, u=union):")
     k = int(N * 0.10)
-    k2 = max(1, k // 2)
     m_set = set(np.argsort(mg)[:k].tolist())
     d_set = set(np.argsort(-d)[:k].tolist())
-    u_set = set(np.argsort(mg)[:k2].tolist()) | \
-        set(np.argsort(-d)[:k2].tolist())
+    u_set = set(np.argsort(mg)[:k // 2].tolist()) | \
+        set(np.argsort(-d)[:k - k // 2].tolist())
     fams = np.array([r[0] for r in rows])
     for fam in ("standard", "crescent", "lobulated", "illum"):
         sel = np.nonzero(fams == fam)[0]

@@ -117,3 +117,28 @@ def test_boundary_distances_border_touching():
     b[1:8, 4:12] = 2
     d = boundary_distances(a, b)
     assert d["hausdorff"] == 1.0
+
+
+def test_spearman_tie_handling():
+    from unetseg_tpu.metrics import spearman
+
+    # perfect monotone relations
+    assert abs(spearman([1, 2, 3], [10, 20, 30]) - 1.0) < 1e-12
+    assert abs(spearman([1, 2, 3], [3, 2, 1]) + 1.0) < 1e-12
+    # ties get average ranks: the result must not depend on input order
+    a = [1, 1, 1, 2, 2, 3]
+    b = [6, 5, 4, 3, 2, 1]
+    r1 = spearman(a, b)
+    r2 = spearman(list(reversed(a)), list(reversed(b)))
+    assert abs(r1 - r2) < 1e-12
+    # constant input: correlation undefined, not a spurious nonzero
+    # (argsort-of-argsort returned input-order correlation here)
+    assert np.isnan(spearman([7, 7, 7, 7], [1, 2, 3, 4]))
+    # agrees with scipy's definition on a tied example (hand-checked):
+    # ranks of a = [1,1,1,2,2,3] -> [1,1,1,3.5,3.5,5] (0-based: [1,1,1,3.5,3.5,5])
+    # pearson of those ranks vs reversed distinct ranks = r1
+    ra = np.array([1.0, 1.0, 1.0, 3.5, 3.5, 5.0])
+    rb = np.array([5.0, 4.0, 3.0, 2.0, 1.0, 0.0])
+    ra -= ra.mean(); rb -= rb.mean()
+    want = float((ra * rb).sum() / np.sqrt((ra**2).sum() * (rb**2).sum()))
+    assert abs(r1 - want) < 1e-12

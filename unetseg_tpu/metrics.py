@@ -171,3 +171,39 @@ def evaluate_masks(pred: np.ndarray, target: np.ndarray,
         "mean_iou": float(iou.mean()),
         "foreground_iou": float(tp / fg_union) if fg_union > 0 else 1.0,
     }
+
+
+def spearman(a: Sequence[float], b: Sequence[float]) -> float:
+    """Spearman rank correlation with average-rank tie handling.
+
+    The router experiments rank integer disagreement counts and quantized
+    margins, which are FULL of ties; argsort-of-argsort assigns tied values
+    arbitrary distinct ranks in input order, biasing the correlation (and
+    returning a spurious nonzero value for a constant input).  Average
+    ranks fix both; a constant input returns NaN (correlation undefined).
+    Single-sourced here for exp_cascade / exp_disagree (round-4 review
+    finding: two drifting copies).
+    """
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+
+    def _ranks(x: np.ndarray) -> np.ndarray:
+        order = np.argsort(x, kind="stable")
+        ranks = np.empty(len(x), np.float64)
+        sx = x[order]
+        i = 0
+        while i < len(x):
+            j = i
+            while j < len(x) and sx[j] == sx[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j - 1) / 2.0  # average rank of the tie
+            i = j
+        return ranks
+
+    ra, rb = _ranks(a), _ranks(b)
+    ra -= ra.mean()
+    rb -= rb.mean()
+    denom = float(np.sqrt((ra * ra).sum() * (rb * rb).sum()))
+    if denom == 0.0:
+        return float("nan")
+    return float((ra * rb).sum() / denom)
