@@ -243,7 +243,9 @@ class InferenceEngine:
           same 3.7 MB geometry, different training mixture); routes slices
           with more than ``threshold`` disagreeing pixels.  Costs one extra
           student pass but catches confidently-wrong slices (pooled
-          ρ=−0.76; the worst slice ranks 5/96 by disagreement).
+          ρ=−0.76 pre-tie-correction — see the RESULTS_r4.md §9 note; the
+          worst slice ranks 5/96 by disagreement, a rank-order result the
+          estimator change does not move).
         * ``router="both"`` — the union: route when the margin falls below
           ``margin_threshold`` OR the disagreement exceeds ``threshold``
           pixels.  The two signals are measured complementary (margin:
