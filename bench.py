@@ -35,7 +35,10 @@ import time
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-FLAGSHIP = os.path.join(_DIR, "models", "flagship_synth.ckpt")  # teacher
+# Teacher checkpoint: a regenerable artifact (62 MB, untracked — see
+# docs/PERFORMANCE.md "Teacher regeneration").  When absent, the agreement
+# gate below honestly reports null rather than failing the bench.
+FLAGSHIP = os.path.join(_DIR, "models", "flagship_synth.ckpt")
 
 
 def _parse_batch_arg() -> int:
