@@ -5,7 +5,8 @@ VERDICT r3 item 7: before building (or retiring) a Pallas int8 conv, pin
 down whether int8 `dot_general` even beats bf16 at the K the slim4 geometry
 can feed it:
 
-* fold2 layout (ops/fold_conv.py): per-tap dots of K = 2C, N = 2D —
+* fold2 layout (ops/fold_conv.py, pruned round 5 — see PERFORMANCE.md
+  memo): per-tap dots of K = 2C, N = 2D —
   K=128/N=128 at the 64-channel level;
 * full im2col: K = 9C (576 at 64ch, 1152 at 128ch);
 * large-K reference point (K=4096) where round 1 measured the 200+ TOPS

@@ -39,11 +39,11 @@ class ModelConfig:
     # trades FLOPs for HBM so large-batch 512² training fits.
     remat: bool = False
     # 3x3 conv implementation.  "xla" is the product default — measured
-    # fastest end-to-end (docs/PERFORMANCE.md).  The experimental_* alternates
-    # are kept for research/ablation and are all measured SLOWER in-model:
+    # fastest end-to-end (docs/PERFORMANCE.md).  One experimental alternate
+    # is kept as the documented Pallas-kernel exemplar (measured slower
+    # in-model; the winograd / fused-level / fold-conv research paths were
+    # pruned in round 5 — their measurement memos remain in PERFORMANCE.md):
     #   "experimental_pallas"   VMEM-accumulator kernel (ops/pallas_conv.py)
-    #   "experimental_winograd" F(2x2,3x3) (ops/winograd.py, retired)
-    #   "experimental_fused"    level mega-kernels (ops/fused_level.py)
     conv_impl: str = "xla"
     # Space-to-depth stem factor (UNet only).  stem=2 rearranges the 512²x1
     # input into 256²x4 before the first conv and emits logits through a

@@ -112,15 +112,11 @@ class InferenceEngine:
         return logits, decode.decode_mask(logits, cfg.num_classes)
 
     def _mask_from_u8(self, params, u8_batch, need_logits: bool):
-        """Primary-student forward honoring the fused-kernel opt-in.
-
-        The fused path emits masks only; callers that need logits (margin
-        routers) take the standard path."""
-        if self._use_fused() and not need_logits:
-            from unetseg_tpu.models import unet_fused
-
-            return None, unet_fused.apply_fused_mask(
-                params, u8_batch, self.cfg)
+        """Primary-student forward.  ``need_logits`` is kept in the
+        signature for the margin routers; the mask-only fused mega-kernel
+        opt-in it used to gate was pruned in round 5 (measured slower than
+        the XLA default — memo in docs/PERFORMANCE.md round-2 section)."""
+        del need_logits
         return self._logits_and_mask(params, u8_batch)
 
     def _maybe_device_post(self, mask):
@@ -143,22 +139,6 @@ class InferenceEngine:
         if self.device_postprocess:
             return np.asarray(masks)
         return native.postprocess_batch(np.asarray(masks))
-
-    def _use_fused(self) -> bool:
-        """Route through the Pallas mega-kernel path (ops/fused_level.py)?
-
-        Opt-in via ModelConfig.conv_impl == "experimental_fused"; requires
-        the flagship geometry and a real TPU backend (the kernels are Mosaic
-        programs; CPU tests exercise them in interpret mode instead).
-        Experimental: measured slower than the XLA default end-to-end
-        (docs/PERFORMANCE.md round-2 section).
-        """
-        if self.cfg.conv_impl != "experimental_fused":
-            return False
-        from unetseg_tpu.models import unet_fused
-
-        return (unet_fused.supports(self.cfg)
-                and jax.devices()[0].platform == "tpu")
 
     def _batch_sharding(self, batch_size: int):
         """NamedSharding for a batch, or None for the single-device path."""

@@ -78,22 +78,16 @@ def _conv_transpose(x, p, *, stride=2, dtype):
 def _conv3x3_relu(x, p, *, dtype, impl="xla"):
     """Fused 3x3 conv + bias + ReLU.
 
-    impl: "xla" (the product default — measured fastest end-to-end),
-    "experimental_pallas" (VMEM-accumulator kernel, loses in-model), or
-    "experimental_winograd" (F(2x2,3x3), retired research path — see
-    docs/PERFORMANCE.md for the measurements behind the demotion).
+    impl: "xla" (the product default — measured fastest end-to-end) or
+    "experimental_pallas" (VMEM-accumulator kernel, kept as the documented
+    Pallas exemplar; loses in-model — see docs/PERFORMANCE.md for the
+    measurements behind the demotion).
     """
     if impl == "experimental_pallas":
         from unetseg_tpu.ops.pallas_conv import conv3x3_bias_act
 
         return conv3x3_bias_act(
             x.astype(dtype), p["w"].astype(dtype), p["b"].astype(dtype)
-        )
-    if impl == "experimental_winograd":
-        from unetseg_tpu.ops.winograd import conv3x3_winograd
-
-        return conv3x3_winograd(
-            x.astype(dtype), p["w"], p["b"], gemm_dtype=dtype
         )
     return jax.nn.relu(_conv(x, p, dtype=dtype))
 
