@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Config-4 device-resident study throughput (VERDICT r4 item 5).
+
+Round 4 reported the config-4 "host budget met" claim as an arithmetic sum
+of component measurements because this box's tunnel H2D (measured
+0.032-0.076 GB/s, RESULTS_r4) caps any upload-in-the-loop study below ~270
+slices/s.  This experiment OBSERVES an end-to-end rate with transport
+isolated: the study is staged on-chip once (untimed, reported), then the
+timed window covers inference dispatch, 2-bit-packed mask D2H, C++ cleanup
+and tiered native emit — exactly what a production host with real PCIe
+pays per slice.  Replaces the reference's serial per-file loop
+(/root/reference/src/main.cpp:148-164) with a measured number.
+
+Usage: python benchmarks/exp_device_resident.py [--slices N] [--out f.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slices", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from unetseg_tpu.utils.watchdog import arm_backend_watchdog
+
+    warm_done = arm_backend_watchdog(lambda deadline: print(json.dumps({
+        "error": (f"device backend unresponsive within {deadline:.0f}s "
+                  "(tunnel/device outage) — device-resident study not "
+                  "measured")}), flush=True))
+
+    import jax
+
+    from unetseg_tpu import checkpoint
+    from unetseg_tpu.data import synth_batch
+    from unetseg_tpu.io import raw as raw_io
+    from unetseg_tpu.parallel import pipeline as ppl
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    found = checkpoint.load_serving(os.path.join(repo, "models"))
+    if found is None:
+        print(json.dumps({"error": "no serving checkpoint in models/"}))
+        return 1
+    params, cfg, ckpt_name = found
+    dev = jax.devices()[0]
+    report = {"device": str(dev), "checkpoint": ckpt_name,
+              "slices": args.slices, "batch": args.batch,
+              "emitter_threads": 1, "host_cores": os.cpu_count()}
+
+    rng = np.random.default_rng(7)
+    n = args.slices
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        raws_np, _ = synth_batch(rng, min(n, 32), 512)
+        for i in range(n):
+            p = f"{td}/s{i:04d}.raw"
+            raw_io.write_raw(p, raws_np[i % raws_np.shape[0]])
+            paths.append(p)
+        for tier in (None, "json", "mask_json", "full"):
+            out_dir = None if tier is None else f"{td}/out_{tier}"
+            best = None
+            for rep in range(2):  # steady state: second rep reuses compile
+                res = ppl.run_study_device_resident(
+                    params, cfg, paths, 512, 512, batch_size=args.batch,
+                    artifacts=tier, out_dir=out_dir)
+                warm_done.set()  # backend proved live end-to-end
+                if best is None or res.slices_per_sec > best.slices_per_sec:
+                    best = res
+            key = "e2e" if tier is None else tier
+            report[f"c4_device_resident_{key}"] = round(
+                best.slices_per_sec, 1)
+            report[f"c4_device_resident_{key}_stage_s"] = round(
+                best.stage_s, 2)
+            print(f"tier={tier}: {best.slices_per_sec:.1f} slices/s "
+                  f"(timed {best.wall_s:.2f}s, staging {best.stage_s:.2f}s)",
+                  flush=True)
+
+    print(json.dumps(report))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

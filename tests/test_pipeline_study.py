@@ -108,3 +108,56 @@ def test_run_study_host_preprocess_matches(tmp_path):
     union = np.logical_or(a, b).sum()
     inter = np.logical_and(a, b).sum()
     assert union == 0 or inter / union >= 0.999
+
+
+def test_device_resident_matches_run_study(tmp_path):
+    """run_study_device_resident produces byte-identical artifacts and
+    identical cleaned masks to run_study — same pipeline, transport staged
+    out of the timed window (VERDICT r4 item 5)."""
+    import filecmp
+    import os
+
+    params = unet.init(jax.random.key(0), SMALL)
+    rng = np.random.default_rng(5)
+    w, h = 96, 80
+    paths = []
+    for i in range(7):  # ragged tail: 7 slices, batch 3
+        img = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+        p = tmp_path / f"s{i}.raw"
+        raw_io.write_raw(str(p), img)
+        paths.append(str(p))
+
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    res_a = pipeline.run_study(params, SMALL, paths, w, h, batch_size=3,
+                               host_preprocess=True, keep_masks=True,
+                               artifacts="json", out_dir=out_a)
+    res_b = pipeline.run_study_device_resident(
+        params, SMALL, paths, w, h, batch_size=3, artifacts="json",
+        out_dir=out_b, keep_masks=True)
+    np.testing.assert_array_equal(res_a.masks, res_b.masks)
+    assert res_b.stage_s > 0 and res_b.slices_per_sec > 0
+    files = sorted(os.listdir(out_a))
+    assert files == sorted(os.listdir(out_b)) and files
+    for f in files:
+        assert filecmp.cmp(os.path.join(out_a, f), os.path.join(out_b, f),
+                           shallow=False), f
+
+
+def test_device_resident_no_artifacts():
+    """artifacts=None measures the artifact-free floor; out_dir unneeded."""
+    params = unet.init(jax.random.key(0), SMALL)
+    rng = np.random.default_rng(6)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for i in range(4):
+            img = rng.integers(0, 65536, size=(80, 96), dtype=np.uint16)
+            p = f"{td}/s{i}.raw"
+            raw_io.write_raw(p, img)
+            paths.append(p)
+        res = pipeline.run_study_device_resident(
+            params, SMALL, paths, 96, 80, batch_size=4, artifacts=None,
+            keep_masks=True)
+        assert res.n_slices == 4 and res.masks.shape == (4, 64, 64)
