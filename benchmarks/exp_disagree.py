@@ -121,13 +121,17 @@ def main():
           f" (n={len(rows)}; negative = high disagreement marks bad slices)")
 
     order = np.argsort(-alld)  # most-disagreeing first
-    print("\nrouting most-disagreeing X% to teacher:")
-    for frac in (0.0, 0.05, 0.10, 0.20, 0.30):
+    print("\nrouting most-disagreeing X% to teacher "
+          "(thr_px = route slices with disagreement > thr):")
+    for frac in (0.0, 0.05, 0.10, 0.15, 0.20, 0.30):
         k = int(len(rows) * frac)
         routed = alls.copy()
         routed[order[:k]] = allt[order[:k]]
-        print(f"  route {int(frac*100):3d}% -> pooled min {routed.min():.5f} "
-              f"mean {routed.mean():.5f}")
+        # the engine threshold that realizes this budget on this pool:
+        # route iff disagreement > thr  ->  thr just below the k-th value
+        thr = int(alld[order[k - 1]]) - 1 if k else int(alld.max())
+        print(f"  route {int(frac*100):3d}% (thr_px {thr:6d}) -> pooled min "
+              f"{routed.min():.5f} mean {routed.mean():.5f}")
     # where does the specialist's worst slice rank by disagreement?
     worst = int(np.argmin(alls))
     rank = int(np.nonzero(order == worst)[0][0])
