@@ -43,15 +43,22 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
 
-    # The SHIPPED student (single-sourced serving policy — hand-rolling
-    # flagship_slim4.ckpt here re-introduced the divergence load_serving
-    # exists to prevent; round-4 review finding).
-    found = checkpoint.load_serving(os.path.join(REPO, "models"),
-                                    include_flagship=False)
-    if found is None:
-        print(json.dumps({"error": "no serving student checkpoint"}))
-        return 1
-    s_params, s_cfg, s_name = found
+    if len(sys.argv) > 2:
+        # explicit candidate checkpoint: gate a NOT-yet-shipped student
+        # (e.g. models/flagship_slim5_cand.ckpt) under the exact shipped
+        # protocol before promoting it through the serving policy
+        s_params, s_cfg = checkpoint.load(sys.argv[2])
+        s_name = os.path.basename(sys.argv[2])
+    else:
+        # The SHIPPED student (single-sourced serving policy — hand-rolling
+        # flagship_slim4.ckpt here re-introduced the divergence load_serving
+        # exists to prevent; round-4 review finding).
+        found = checkpoint.load_serving(os.path.join(REPO, "models"),
+                                        include_flagship=False)
+        if found is None:
+            print(json.dumps({"error": "no serving student checkpoint"}))
+            return 1
+        s_params, s_cfg, s_name = found
     s_params = jax.device_put(s_params)
 
     # Teacher: the ROBUSTIFIED one the student was distilled from when
