@@ -133,8 +133,9 @@ def repl(stdin=None) -> int:
                 cascade_router = ("disagree" if rest[0] == "--cascade-disagree"
                                   else "both")
                 cascade_co, cascade_ckpt = rest[1], rest[2]
-                cascade_thr = 64.0  # px; ~10%-routing point measured in
-                #                     benchmarks/exp_disagree.py
+                cascade_thr = 106.0  # px; the 10%-budget point under the
+                # reproducible crc32-seed protocol (exp_disagree.py,
+                # 2026-08-19: pooled min 0.99422 -> 0.99706 at 10% routed)
                 if len(rest) > 3:
                     try:
                         cascade_thr = float(rest[3])
