@@ -137,10 +137,20 @@ def test_device_resident_matches_run_study(tmp_path):
         out_dir=out_b, keep_masks=True)
     np.testing.assert_array_equal(res_a.masks, res_b.masks)
     assert res_b.stage_s > 0 and res_b.slices_per_sec > 0
+    # device_postprocess variant: on-chip v4 cleanup + 1-bit masks must
+    # reproduce the host-cleanup artifacts byte-for-byte
+    out_c = str(tmp_path / "c")
+    res_c = pipeline.run_study_device_resident(
+        params, SMALL, paths, w, h, batch_size=3, artifacts="json",
+        out_dir=out_c, keep_masks=True, device_postprocess=True)
+    np.testing.assert_array_equal(res_a.masks, res_c.masks)
     files = sorted(os.listdir(out_a))
-    assert files == sorted(os.listdir(out_b)) and files
+    assert files == sorted(os.listdir(out_b)) == sorted(os.listdir(out_c))
+    assert files
     for f in files:
         assert filecmp.cmp(os.path.join(out_a, f), os.path.join(out_b, f),
+                           shallow=False), f
+        assert filecmp.cmp(os.path.join(out_a, f), os.path.join(out_c, f),
                            shallow=False), f
 
 

@@ -326,17 +326,34 @@ def run_study(
 
 
 @functools.lru_cache(maxsize=None)
-def _device_stage_resident(cfg: ModelConfig, pack: bool):
+def _device_stage_resident(cfg: ModelConfig, pack: bool,
+                           device_post: bool = False):
     """Jitted program for the device-resident study: preprocessed-u8 in,
     (optionally 2-bit-packed) class mask out.  Leaner than
     :func:`_device_stage` — the host already holds the normalized u8, so
-    nothing but the mask crosses D2H."""
+    nothing but the mask crosses D2H.
+
+    ``device_post=True`` additionally runs the v4 device postprocess twin
+    (ops/postprocess.py — oracle-equal to csrc cleanup, differential-tested)
+    on-chip and packs the cleaned {0,2} mask at ONE bit/pixel: on a
+    D2H-constrained link (the dev tunnel measures ~0.04 GB/s) this halves
+    the transfer AND removes host cleanup from the critical path."""
 
     @jax.jit
     def stage(params, u8):
         x = preprocess.model_input_from_u8(u8)[..., None]
         logits = model_registry.apply(params, x, cfg)
         mask = decode.decode_mask(logits, cfg.num_classes)
+        if device_post:
+            from unetseg_tpu.ops import postprocess as device_post_ops
+
+            on_tpu = jax.devices()[0].platform == "tpu"
+            mask = device_post_ops.postprocess_masks(
+                mask, use_pallas_cc=on_tpu)
+            n, h, w = mask.shape
+            bits = (mask.reshape(n, h, w // 8, 8) != 0).astype(jnp.uint8)
+            weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+            return (bits * weights).sum(-1, dtype=jnp.uint8)
         return _pack_mask2(mask) if pack else mask.astype(jnp.uint8)
 
     return stage
@@ -353,6 +370,7 @@ def run_study_device_resident(
     out_dir: Optional[str] = None,
     emitter_threads: int = 1,
     keep_masks: bool = False,
+    device_postprocess: bool = False,
 ) -> StudyResult:
     """Config-4 study with transport isolated (VERDICT r4 item 5).
 
@@ -371,8 +389,16 @@ def run_study_device_resident(
     observed wall-clock, no per-component arithmetic.
 
     ``artifacts=None`` measures the artifact-free pipeline floor.
+
+    ``device_postprocess=True`` moves the mask cleanup on-chip (v4 twin,
+    oracle-equal) and ships the cleaned mask at 1 bit/px — the fastest mode
+    on D2H-constrained links; requires the 3-class cleanup contract
+    (cleaned values {0,2}).
     """
     size = cfg.image_size
+    if device_postprocess and (cfg.num_classes != 3 or size % 8):
+        raise ValueError("device_postprocess study mode assumes the 3-class "
+                         "{0,2} cleanup contract and size % 8 == 0")
     tier = None
     if artifacts is not None:
         if out_dir is None:
@@ -387,7 +413,7 @@ def run_study_device_resident(
         os.makedirs(out_dir, exist_ok=True)
 
     pack = size % 4 == 0 and cfg.num_classes <= 4
-    stage_fn = _device_stage_resident(cfg, pack)
+    stage_fn = _device_stage_resident(cfg, pack, device_postprocess)
 
     n = len(slice_paths)
     batches = [
@@ -418,7 +444,12 @@ def run_study_device_resident(
     with ThreadPoolExecutor(max_workers=emitter_threads) as emitters:
         for bi, (idxs, masks_dev) in enumerate(zip(batches, pending)):
             packed_np = np.asarray(masks_dev)  # blocks on batch bi + D2H
-            if pack:
+            packed_np = packed_np[: len(idxs)]  # drop compile-shape padding
+            if device_postprocess:
+                # cleanup already ran on-chip; 1 bit/px -> {0,2}
+                masks = np.unpackbits(
+                    packed_np, axis=-1, bitorder="little") * np.uint8(2)
+            elif pack:
                 masks = native.postprocess_packed_batch(packed_np, size)
             else:
                 masks = native.postprocess_batch(packed_np)
@@ -431,7 +462,7 @@ def run_study_device_resident(
                          for p in paths]
                 emit_futures.append(emitters.submit(
                     native.emit_batch,
-                    host_u8[bi][: len(idxs)], masks[: len(idxs)],
+                    host_u8[bi][: len(idxs)], masks,
                     [out_dir] * len(idxs), bases,
                     [os.path.basename(p) for p in paths],
                     width, height, tier))
