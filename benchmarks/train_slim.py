@@ -19,13 +19,19 @@ prints val fg-IoU (vs labels) and mask agreement (vs teacher).
 
 Usage: python benchmarks/train_slim.py [steps] [n_train] [depth] [stem]
                                        [base_channels] [out_path] [boost]
-                                       [arch]
+                                       [arch] [mix]
 (stem=4 explores the 128²-levels geometry; the contract gate — ship only
 at >=0.999 agreement — is applied by the caller.  ``boost`` > 0 enables
 boundary-weighted distillation — label-transition pixels up-weighted in CE
 and KL (train.boundary_weight_map) — and widens a third of the training
 data to smaller organs (data.synth_slice r_range (0.06, 0.3)): the round-4
-worst-slice levers, VERDICT r3 item 1.)
+worst-slice levers, VERDICT r3 item 1.  ``mix`` > 0 draws that fraction of
+the pool from the crescent+illum shift families (half each,
+data.synth_slice_shifted) — the in-family lever for students whose capacity
+is too small for the standard-only robustness transfer (RESULTS_r5 §7:
+base48_d2 collapses on illum at 1.06 M params).  lobulated+multiorgan stay
+OUT of the pool deliberately so eval_shift keeps a genuinely held-out OOD
+probe for such students.)
 """
 
 import functools
@@ -56,6 +62,20 @@ def gen_u8(rng, n, r_range=(0.12, 0.3)):
     return imgs, labels
 
 
+def gen_shift_u8(rng, n, kinds=("crescent", "illum")):
+    """n shift-family slices (round-robin over kinds) as serving u8 + labels."""
+    from unetseg_tpu import data
+    from unetseg_tpu.io import native
+
+    imgs = np.empty((n, 512, 512), np.uint8)
+    labels = np.empty((n, 512, 512), np.uint8)
+    for i in range(n):
+        raw, lab = data.synth_slice_shifted(rng, 512, kind=kinds[i % len(kinds)])
+        imgs[i] = native.preprocess_u8(raw, 512)
+        labels[i] = lab
+    return imgs, labels
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -72,6 +92,7 @@ def main():
     out_path = sys.argv[6] if len(sys.argv) > 6 else OUT
     boost = float(sys.argv[7]) if len(sys.argv) > 7 else 0.0
     arch = sys.argv[8] if len(sys.argv) > 8 else "unet"
+    mix = float(sys.argv[9]) if len(sys.argv) > 9 else 0.0
     batch = 8
 
     t_params, t_cfg = checkpoint.load(TEACHER)
@@ -83,14 +104,19 @@ def main():
 
     rng = np.random.default_rng(42)
     t0 = time.time()
-    if boost > 0:  # worst-slice mode: a third of the data from the wide
-        n_wide = n_train // 3         # (small-organ) distribution
-        i1, l1 = gen_u8(rng, n_train - n_wide)
+    n_shift = int(round(n_train * mix))  # crescent+illum in-family slices
+    n_std = n_train - n_shift
+    if boost > 0:  # worst-slice mode: a third of the standard data from the
+        n_wide = n_std // 3            # wide (small-organ) distribution
+        i1, l1 = gen_u8(rng, n_std - n_wide)
         i2, l2 = gen_u8(rng, n_wide, r_range=(0.06, 0.3))
-        imgs_h = np.concatenate([i1, i2])
-        labels_h = np.concatenate([l1, l2])
+        parts = [(i1, l1), (i2, l2)]
     else:
-        imgs_h, labels_h = gen_u8(rng, n_train)
+        parts = [gen_u8(rng, n_std)]
+    if n_shift > 0:
+        parts.append(gen_shift_u8(rng, n_shift))
+    imgs_h = np.concatenate([p[0] for p in parts])
+    labels_h = np.concatenate([p[1] for p in parts])
     print(f"data gen: {time.time()-t0:.1f}s for {n_train} slices", flush=True)
 
     t0 = time.time()
