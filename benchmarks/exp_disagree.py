@@ -19,7 +19,10 @@ Protocol mirrors exp_cascade.py: 4 families x n slices; per slice record
 (disagreement px count, specialist IoU, teacher IoU); report spearman and
 the routing curve (route top-disagreement X% to the teacher).
 
-Usage: python benchmarks/exp_disagree.py [n_per_family]
+Usage: python benchmarks/exp_disagree.py [n_per_family] [student_ckpt]
+(student_ckpt defaults to the shipped slim4 specialist; pass e.g.
+models/flagship_slim5.ckpt to re-tune the routing threshold for a new
+serving student — the co-model and fallback stay the shipped ones.)
 """
 
 import zlib
@@ -46,7 +49,10 @@ def main():
 
     from unetseg_tpu.ops import decode, preprocess
 
-    s_params, s_cfg = checkpoint.load(os.path.join(mdir, "flagship_slim4.ckpt"))
+    s_path = (sys.argv[2] if len(sys.argv) > 2
+              else os.path.join(mdir, "flagship_slim4.ckpt"))
+    s_params, s_cfg = checkpoint.load(s_path)
+    print(f"student: {os.path.basename(s_path)}", flush=True)
     r_params, r_cfg = checkpoint.load(
         os.path.join(mdir, "flagship_slim4_robust.ckpt"))
     # the routing target: the robustified teacher when present (what the
