@@ -1,7 +1,10 @@
 #!/bin/bash
-# Second contingency: if slim4b (base64 + mix 0.25) ALSO rejects, bisect the
-# mixture — mix 0.125 trades back half the in-family pool for standard/OOD
-# margin.  Same pre-registered bar (crescent must strictly improve).
+# Second contingency: if slim4b (base64 + mix 0.25 of 1536) ALSO rejects,
+# GROW the pool instead of diluting it — n_train 1920 with mix 0.2 keeps the
+# shipped recipe's full 1536 standard slices and ADDS 384 crescent+illum
+# (slim5b showed the mixture's cost is standard/OOD margin — the dilution,
+# not the mixture, is the suspect).  Same bar (crescent must strictly
+# improve).
 set -u
 cd /root/repo
 DEC4=benchmarks/queue_logs/slim4b_decision.log
@@ -18,8 +21,8 @@ for i in $(seq 1 720); do            # up to 6 h for the upstream chains
 done
 grep -q "REJECTED\|failed\|no decision" "$DEC4" 2>/dev/null || exit 0
 
-timeout 3600 python benchmarks/train_slim.py 21600 1536 2 4 64 \
-  models/flagship_slim4c_cand.ckpt 1 unet 0.125 > "$DLOG" 2>&1
+timeout 3600 python benchmarks/train_slim.py 21600 1920 2 4 64 \
+  models/flagship_slim4c_cand.ckpt 1 unet 0.2 > "$DLOG" 2>&1
 echo "distill rc=$?" >> "$DLOG"
 grep -q "^distill rc=0" "$DLOG" || { echo "distill failed" > "$OUT"; exit 1; }
 
