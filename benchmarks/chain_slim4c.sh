@@ -21,6 +21,16 @@ for i in $(seq 1 720); do            # up to 6 h for the upstream chains
 done
 grep -q "REJECTED\|failed\|no decision" "$DEC4" 2>/dev/null || exit 0
 
+# Wait out any tunnel wedge before burning the distill timeout (outages can
+# last hours; upstream failure is often exactly such a wedge).
+for i in $(seq 1 240); do
+  if timeout 120 python -c "import jax, jax.numpy as jnp; \
+x=jnp.ones((8,8)); print(int((x@x)[0,0]))" > /dev/null 2>&1; then
+    break
+  fi
+  sleep 60
+done
+
 timeout 3600 python benchmarks/train_slim.py 21600 1920 2 4 64 \
   models/flagship_slim4c_cand.ckpt 1 unet 0.2 > "$DLOG" 2>&1
 echo "distill rc=$?" >> "$DLOG"
