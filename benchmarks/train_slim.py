@@ -19,7 +19,7 @@ prints val fg-IoU (vs labels) and mask agreement (vs teacher).
 
 Usage: python benchmarks/train_slim.py [steps] [n_train] [depth] [stem]
                                        [base_channels] [out_path] [boost]
-                                       [arch] [mix]
+                                       [arch] [mix] [mix_kinds]
 (stem=4 explores the 128²-levels geometry; the contract gate — ship only
 at >=0.999 agreement — is applied by the caller.  ``boost`` > 0 enables
 boundary-weighted distillation — label-transition pixels up-weighted in CE
@@ -29,9 +29,10 @@ worst-slice levers, VERDICT r3 item 1.  ``mix`` > 0 draws that fraction of
 the pool from the crescent+illum shift families (half each,
 data.synth_slice_shifted) — the in-family lever for students whose capacity
 is too small for the standard-only robustness transfer (RESULTS_r5 §7:
-base48_d2 collapses on illum at 1.06 M params).  lobulated+multiorgan stay
-OUT of the pool deliberately so eval_shift keeps a genuinely held-out OOD
-probe for such students.)
+base48_d2 collapses on illum at 1.06 M params).  ``mix_kinds`` (comma-
+separated, default ``crescent,illum``) selects which shift families the mix
+draws from; whatever is listed is IN-POOL and no longer a held-out probe —
+keep at least one family (lobulated by convention) out.)
 """
 
 import functools
@@ -93,6 +94,8 @@ def main():
     boost = float(sys.argv[7]) if len(sys.argv) > 7 else 0.0
     arch = sys.argv[8] if len(sys.argv) > 8 else "unet"
     mix = float(sys.argv[9]) if len(sys.argv) > 9 else 0.0
+    mix_kinds = (tuple(sys.argv[10].split(",")) if len(sys.argv) > 10
+                 else ("crescent", "illum"))
     batch = 8
 
     t_params, t_cfg = checkpoint.load(TEACHER)
@@ -114,7 +117,7 @@ def main():
     else:
         parts = [gen_u8(rng, n_std)]
     if n_shift > 0:
-        parts.append(gen_shift_u8(rng, n_shift))
+        parts.append(gen_shift_u8(rng, n_shift, kinds=mix_kinds))
     imgs_h = np.concatenate([p[0] for p in parts])
     labels_h = np.concatenate([p[1] for p in parts])
     print(f"data gen: {time.time()-t0:.1f}s for {n_train} slices", flush=True)
