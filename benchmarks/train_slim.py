@@ -19,7 +19,7 @@ prints val fg-IoU (vs labels) and mask agreement (vs teacher).
 
 Usage: python benchmarks/train_slim.py [steps] [n_train] [depth] [stem]
                                        [base_channels] [out_path] [boost]
-                                       [arch] [mix] [mix_kinds]
+                                       [arch] [mix] [mix_kinds] [mix_mode]
 (stem=4 explores the 128²-levels geometry; the contract gate — ship only
 at >=0.999 agreement — is applied by the caller.  ``boost`` > 0 enables
 boundary-weighted distillation — label-transition pixels up-weighted in CE
@@ -32,7 +32,19 @@ is too small for the standard-only robustness transfer (RESULTS_r5 §7:
 base48_d2 collapses on illum at 1.06 M params).  ``mix_kinds`` (comma-
 separated, default ``crescent,illum``) selects which shift families the mix
 draws from; whatever is listed is IN-POOL and no longer a held-out probe —
-keep at least one family (lobulated by convention) out.)
+keep at least one family (lobulated by convention) out.
+
+``mix_mode`` controls WHEN the shift slices are sampled (the round-5
+mixture account showed a constant mixture trades ~1.5e-4 of val991 and the
+held-out tails no matter which families are in-pool — RESULTS_r5 §8):
+  const          (default) shift slices sampled uniformly with the rest of
+                 the pool for the whole run — the six-candidate record.
+  curr:F:P       curriculum, standard → mixture: the first F·steps sample
+                 ONLY the standard segment (formative phase identical to
+                 the shipped standard-only recipe), the remaining steps
+                 draw each batch element from the shift segment with
+                 probability P (total shift exposure = (1−F)·P of samples).
+                 Both segments keep epoch-walk coverage (shuffle on wrap).
 """
 
 import functools
@@ -96,6 +108,7 @@ def main():
     mix = float(sys.argv[9]) if len(sys.argv) > 9 else 0.0
     mix_kinds = (tuple(sys.argv[10].split(",")) if len(sys.argv) > 10
                  else ("crescent", "illum"))
+    mix_mode = sys.argv[11] if len(sys.argv) > 11 else "const"
     batch = 8
 
     t_params, t_cfg = checkpoint.load(TEACHER)
@@ -150,16 +163,54 @@ def main():
 
     step_jit = jax.jit(step_fn, donate_argnums=(0,))
 
-    order = np.arange(n_train)
-    t0 = time.time()
-    for s in range(steps):
-        if (s * batch) % n_train == 0:
-            rng.shuffle(order)
-        idx = jnp.asarray(order[(s * batch) % n_train:(s * batch) % n_train + batch])
-        state, loss = step_jit(state, idx, imgs, labels, t_logits)
-        if s % 100 == 0 or s == steps - 1:
-            print(f"step {s:4d} loss {float(loss):.4f} "
-                  f"({(time.time()-t0)/(s+1)*1e3:.0f} ms/step)", flush=True)
+    class _Walk:
+        """Epoch-walk over [lo, hi): uniform coverage, reshuffle on wrap."""
+
+        def __init__(self, lo, hi):
+            self.order, self.pos = np.arange(lo, hi), 0
+            rng.shuffle(self.order)
+
+        def take(self, k):
+            out = []
+            while k:
+                if self.pos == len(self.order):
+                    rng.shuffle(self.order)
+                    self.pos = 0
+                m = min(k, len(self.order) - self.pos)
+                out.append(self.order[self.pos:self.pos + m])
+                self.pos += m
+                k -= m
+            return (np.concatenate(out) if out
+                    else np.empty(0, self.order.dtype))
+
+    if mix_mode.startswith("curr") and n_shift > 0:
+        _, f_std, p_late = mix_mode.split(":")
+        f_std, p_late = float(f_std), float(p_late)
+        print(f"curriculum: standard-only for {f_std:.0%} of steps, then "
+              f"P(shift)={p_late} (total shift exposure "
+              f"{(1 - f_std) * p_late:.1%})", flush=True)
+        w_std, w_shift = _Walk(0, n_std), _Walk(n_std, n_train)
+        t0 = time.time()
+        for s in range(steps):
+            k = int(rng.binomial(batch, p_late)) if s >= f_std * steps else 0
+            idx = jnp.asarray(np.concatenate(
+                [w_shift.take(k), w_std.take(batch - k)]))
+            state, loss = step_jit(state, idx, imgs, labels, t_logits)
+            if s % 100 == 0 or s == steps - 1:
+                print(f"step {s:4d} loss {float(loss):.4f} "
+                      f"({(time.time()-t0)/(s+1)*1e3:.0f} ms/step)",
+                      flush=True)
+    else:
+        order = np.arange(n_train)
+        t0 = time.time()
+        for s in range(steps):
+            if (s * batch) % n_train == 0:
+                rng.shuffle(order)
+            idx = jnp.asarray(order[(s * batch) % n_train:(s * batch) % n_train + batch])
+            state, loss = step_jit(state, idx, imgs, labels, t_logits)
+            if s % 100 == 0 or s == steps - 1:
+                print(f"step {s:4d} loss {float(loss):.4f} "
+                      f"({(time.time()-t0)/(s+1)*1e3:.0f} ms/step)", flush=True)
 
     # --- held-out evaluation: fg IoU vs labels, agreement vs teacher -------
     # Multiple val seeds with MIN reporting: the ship gate is now graded on
